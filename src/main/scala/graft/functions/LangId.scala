@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** fastText-style language identification: a character n-gram hash model
+  * scored per document. Reimagines the reference's string-similarity
+  * clustering (`/root/reference/src/utils.py:271-341`) — "which cluster of
+  * known strings does this string look like" — as "which language profile
+  * does this document's n-gram distribution look like".
+  *
+  * The model is built deterministically from a seed corpus embedded in
+  * this file (public-knowledge common words/sentences per language), so
+  * every JVM — driver or any executor on a 1000-node cluster — derives an
+  * IDENTICAL model locally at class-init time. No broadcast, no side
+  * files, no model-serialization skew: the scoring expression is pure and
+  * stateless from Catalyst's point of view.
+  */
+object LangIdModel {
+
+  /** Seed corpus per language: common function words + short sentences. */
+  val SeedCorpus: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and this is a test of " +
+      "the english language with many common words that the people have been " +
+      "there would could should which their about other after first these from " +
+      "they will what when where your more some time very just know good"),
+    "fr" -> ("le renard brun rapide saute par dessus le chien paresseux et ceci est " +
+      "un essai de la langue francaise avec beaucoup de mots courants que les " +
+      "gens ont ete la bas pour que cette dans les nous vous ils elles sont " +
+      "avec pas plus tout mais leur bien deux fait sans peut sous votre"),
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und dies ist " +
+      "ein test der deutschen sprache mit vielen gebraeuchlichen woertern die " +
+      "die leute haben dort wuerde koennte sollte welche ihre ueber andere nach " +
+      "nicht sich auch auf werden einer durch beim noch nur vom zum"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso y esto es una " +
+      "prueba de la lengua espanola con muchas palabras comunes que la gente " +
+      "ha estado alli seria podria deberia cual sus sobre otros despues desde " +
+      "ellos para cuando donde mas algunos tiempo muy solo pero tambien como"),
+    "it" -> ("la rapida volpe marrone salta sopra il cane pigro e questa e una " +
+      "prova della lingua italiana con molte parole comuni che la gente ha " +
+      "stato li sarebbe potrebbe dovrebbe quale loro circa altri dopo prima " +
+      "questi sono stati anche nella degli delle gli una per non che piu")
+  )
+
+  val NGram = 3
+  val Alpha = 0.5 // add-alpha smoothing
+
+  final case class Model(langs: Array[String],
+                         // per lang: trigram -> log prob
+                         logProb: Array[java.util.HashMap[String, java.lang.Double]],
+                         defaultLogProb: Array[Double])
+
+  private def trigrams(s: String): Iterator[String] = {
+    val n = TextNorm.norm(s)
+    if (n.length < NGram) Iterator.empty
+    else (0 to n.length - NGram).iterator.map(i => n.substring(i, i + NGram))
+  }
+
+  lazy val model: Model = {
+    val langs = SeedCorpus.keys.toArray.sorted
+    val vocab = scala.collection.mutable.HashSet[String]()
+    val counts = langs.map { l =>
+      val m = scala.collection.mutable.HashMap[String, Int]()
+      trigrams(SeedCorpus(l)).foreach { g =>
+        vocab += g; m.update(g, m.getOrElse(g, 0) + 1)
+      }
+      m
+    }
+    val v = vocab.size.toDouble
+    val lp = langs.indices.map { i =>
+      val tot = counts(i).values.sum + Alpha * v
+      val hm = new java.util.HashMap[String, java.lang.Double]()
+      counts(i).foreach { case (g, c) => hm.put(g, math.log((c + Alpha) / tot)) }
+      hm
+    }.toArray
+    val dflt = langs.indices.map { i =>
+      val tot = counts(i).values.sum + Alpha * v
+      math.log(Alpha / tot)
+    }.toArray
+    Model(langs, lp, dflt)
+  }
+
+  /** Returns (bestLang, normalizedScore). Score = best mean per-trigram
+    * log-likelihood margin over the runner-up (≥ 0; higher = more
+    * confident). Empty/too-short text ⇒ ("und", 0.0).
+    */
+  def classify(text: String): (String, Double) = {
+    val m = model
+    val grams = trigrams(text).toArray
+    if (grams.isEmpty) return ("und", 0.0)
+    val scores = new Array[Double](m.langs.length)
+    var i = 0
+    while (i < m.langs.length) {
+      val hm = m.logProb(i); val d = m.defaultLogProb(i)
+      var s = 0.0; var j = 0
+      while (j < grams.length) {
+        val v = hm.get(grams(j))
+        s += (if (v == null) d else v.doubleValue())
+        j += 1
+      }
+      scores(i) = s / grams.length
+      i += 1
+    }
+    var best = 0; var second = -1
+    i = 1
+    while (i < scores.length) {
+      if (scores(i) > scores(best)) { second = best; best = i }
+      else if (second < 0 || scores(i) > scores(second)) second = i
+      i += 1
+    }
+    val margin = if (second < 0) 0.0 else scores(best) - scores(second)
+    (m.langs(best), margin)
+  }
+}
+
+private[functions] object TextNorm {
+  /** Lowercase, collapse whitespace — must match TextFns.normText. */
+  def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+}
+
+/** `lang_id(text)` → struct<lang: string, score: double>. */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val (lang, score) = LangIdModel.classify(input.asInstanceOf[UTF8String].toString)
+    InternalRow(UTF8String.fromString(lang), score)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+object LangId {
+  def langIdStruct(c: Column): Column = GraftExpr.column(LangIdExpr(GraftExpr.expr(c)))
+  def langIdLang(c: Column): Column = langIdStruct(c).getField("lang")
+  def langIdScore(c: Column): Column = langIdStruct(c).getField("score")
+
+  /** SQL-portable marker-token language scorer (used by oracle-checked
+    * queries): counts per-language marker-word hits among tokens and
+    * returns the argmax. Weaker than the n-gram model but expressible
+    * identically in ANSI-ish SQL.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "that", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "mit"),
+    "es" -> Seq("el", "los", "que", "las", "para", "como")
+  )
+
+  def markerLang(c: Column): Column = {
+    val toks = transform(TextFns.tokens(c), t => lower(t))
+    val scored = Markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val set = array(ws.map(lit): _*)
+      (l, size(filter(toks, t => array_contains(set, t))))
+    }
+    // argmax with deterministic tie-break on lang name asc; all-zero -> "und"
+    val best = scored.map { case (l, s) =>
+      struct(s.as("hits"), lit(l).as("lang"))
+    }.reduceLeft((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

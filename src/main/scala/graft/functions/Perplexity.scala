@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KenLM-style per-document perplexity from a character n-gram LM.
+  *
+  * Reimagines the reference's outlier scoring (`/root/reference/src/
+  * improve_data_quality.py:482-528`, LOF) and z-score extremes
+  * (`src/utils.py:190-232`) as a per-document language-model score: a
+  * document whose character distribution is far from the corpus model
+  * (gibberish, binary junk, boilerplate soup) gets high perplexity and is
+  * dropped by a threshold rule. Unlike LOF (kNN over all rows — not
+  * distributable), the LM score is embarrassingly parallel: the model is
+  * small and identical on every JVM (built from the embedded seed corpus,
+  * like [[LangIdModel]]), so scoring is a narrow map with zero shuffle —
+  * the only shape that works at 10¹² documents.
+  *
+  * Model: order-3 char LM, add-alpha smoothing, trained on the combined
+  * LangIdModel seed corpus. Deterministic by construction.
+  */
+object CharLm {
+  val Order = 3
+  val Alpha = 0.1
+
+  final case class Model(ctx: java.util.HashMap[String, java.lang.Double], // context -> total+αV
+                         cnt: java.util.HashMap[String, java.lang.Double], // context+char -> count+α
+                         vocab: Double)
+
+  lazy val model: Model = {
+    val corpus = LangIdModel.SeedCorpus.toSeq.sortBy(_._1).map(_._2).mkString(" ")
+    val n = TextNorm.norm(corpus)
+    val ctxCount = new java.util.HashMap[String, java.lang.Double]()
+    val gramCount = new java.util.HashMap[String, java.lang.Double]()
+    val chars = scala.collection.mutable.HashSet[Char]()
+    var i = 0
+    while (i + Order <= n.length) {
+      val ctx = n.substring(i, i + Order - 1)
+      val gram = n.substring(i, i + Order)
+      ctxCount.merge(ctx, 1.0, (a, b) => a + b)
+      gramCount.merge(gram, 1.0, (a, b) => a + b)
+      chars += n.charAt(i + Order - 1)
+      i += 1
+    }
+    Model(ctxCount, gramCount, chars.size.toDouble + 1.0)
+  }
+
+  /** Perplexity = exp(-mean log P(c | ctx)). Short/empty text ⇒ 1.0. */
+  def perplexity(text: String): Double = {
+    val m = model
+    val n = TextNorm.norm(text)
+    if (n.length < Order) return 1.0
+    var logSum = 0.0
+    var i = 0
+    val total = n.length - Order + 1
+    while (i + Order <= n.length) {
+      val ctx = n.substring(i, i + Order - 1)
+      val gram = n.substring(i, i + Order)
+      val c = m.cnt.get(gram)
+      val cc = m.ctx.get(ctx)
+      val num = (if (c == null) 0.0 else c.doubleValue()) + Alpha
+      val den = (if (cc == null) 0.0 else cc.doubleValue()) + Alpha * m.vocab
+      logSum += math.log(num / den)
+      i += 1
+    }
+    math.exp(-logSum / total)
+  }
+}
+
+/** `char_ngram_perplexity(text)` → double. */
+case class CharNgramPerplexity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    CharLm.perplexity(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): CharNgramPerplexity =
+    copy(child = newChild)
+}
+
+object Perplexity {
+  def perplexityCol(c: Column): Column =
+    GraftExpr.column(CharNgramPerplexity(GraftExpr.expr(c)))
+}

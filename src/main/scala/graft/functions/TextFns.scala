@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Per-document text features as pure `Column` expressions.
+  *
+  * Everything here stays inside whole-stage codegen (built-in Catalyst
+  * expressions only — no UDFs), so a projection computing all features is
+  * one narrow pass over `text` with zero shuffle. These are the scaled
+  * analogues of the reference's per-column scans
+  * (`/root/reference/src/improve_data_quality.py:300-396`): where the
+  * reference re-walks the pandas column once per rule, the engine computes
+  * all features in one fused projection and lets every rule read from it.
+  *
+  * Each feature has a DuckDB-SQL twin in [[graft.OracleFrags]] used by the
+  * correctness oracle — keep semantics in sync (tokenisation = split on
+  * `\s+` of trimmed text, empties dropped; symbols = non-alnum, non-space).
+  */
+object TextFns {
+
+  /** English stopword core — used for both the Gopher-style stopword-ratio
+    * heuristic and the stopword-profile language scorer. Fixed and
+    * versioned: changing it changes keep/drop labels.
+    */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Deterministic "toxicity" lexicon placeholder (mild terms; the real
+    * deployment swaps in a curated list — the machinery is identical).
+    */
+  val ToxicityLexicon: Seq[String] =
+    Seq("damn", "hell", "crap", "idiot", "stupid", "moron")
+
+  /** Whitespace tokens of trimmed text, empty strings dropped.
+    * `tokens("") == []`, `tokens(null) == null`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= lit(""))
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** Character count of the raw string. */
+  def charLen(c: Column): Column = length(c)
+
+  /** Count of symbol characters (not alnum, not whitespace). */
+  def symbolCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+
+  /** Gopher-style symbol-to-char ratio, null-safe on empty text. */
+  def symbolRatio(c: Column): Column =
+    (symbolCount(c).cast(DoubleType) / nullif(length(c), lit(0))).cast(DoubleType)
+
+  /** Mean token length; null for empty docs. */
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+      .cast(DoubleType) / nullif(size(toks), lit(0))
+  }
+
+  private def hitsIn(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, lower(t))))
+  }
+
+  /** Fraction of tokens that are English stopwords (C4/Gopher heuristic). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    hitsIn(toks, StopwordsEn).cast(DoubleType) / nullif(size(toks), lit(0))
+  }
+
+  def toxicityHits(c: Column): Column = hitsIn(tokens(c), ToxicityLexicon)
+
+  /** Lines of a document (for line-level dedup). */
+  def lines(c: Column): Column = filter(split(c, "\n"), l => trim(l) =!= lit(""))
+
+  /** Canonical text normalisation used before fingerprint/shingle hashing:
+    * lowercase, trim, collapse whitespace runs to single spaces.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single symbols each
+    * count as one token (a cheap proxy for subword-tokeniser cost).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative
+    * long. Identical in DuckDB as `('0x' || substr(md5(s),1,15))::BIGINT`.
+    * Used wherever a hash must agree with the SQL oracle; hot paths that
+    * don't need oracle parity should prefer `xxhash64`.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** Rolling document fingerprint = md5Long of normalised text. */
+  def fingerprint(c: Column): Column = md5Long(normText(c))
+
+  /** Character k-shingles of the (already normalised) string; empty array
+    * when the string is shorter than k.
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - lit(k - 1)),
+        i => substr(c, i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.ParquetLakeTable
+
+/** Resumable per-partition execution (north rule: "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  *
+  * The input is partitioned by crawl day (`to_date(warc_ts)`) — the
+  * natural Iceberg identity partition of a Common-Crawl-style table. Each
+  * day is processed independently and committed atomically via
+  * [[ParquetLakeTable]]; a restarted run lists committed partitions and
+  * skips them, so a crash at partition k costs only partition k.
+  *
+  * Descends from the reference's bookkeeping (`good_index`/`bad_index`,
+  * `/root/reference/src/improve_data_quality.py:39-42`): the lineage
+  * table is the per-partition generalization of the findings table's
+  * bookkeeping role.
+  *
+  * Corpus-level statistics (pass-2 z-score gates) must not drift between
+  * a straight run and a resumed run, so the caller processes each
+  * partition with the pipeline's per-partition semantics — the verdict
+  * tables are unioned by read() afterwards. (For whole-corpus stats, run
+  * the profile stage first and pass it in — see QualityPipeline.pass2's
+  * `precomputedProfiles`.)
+  */
+object Checkpointer {
+
+  final case class PartitionReport(partition: String, nDocs: Long,
+                                   nKept: Long, nVerdicts: Long,
+                                   wallMs: Long, skipped: Boolean)
+
+  def run(spark: SparkSession, pages: DataFrame, outRoot: String,
+          cfg: QualityPipeline.Config = QualityPipeline.defaultConfig,
+          failAtPartition: Option[String] = None): Seq[PartitionReport] = {
+    import spark.implicits._
+    val keptTable = new ParquetLakeTable(spark, s"$outRoot/kept", "pdate")
+    val verdictTable = new ParquetLakeTable(spark, s"$outRoot/verdicts", "pdate")
+    val lineageTable = new ParquetLakeTable(spark, s"$outRoot/lineage", "pdate")
+
+    val withDay = pages.withColumn("pdate", to_date(col("warc_ts")).cast("string"))
+    val days = withDay.select("pdate").distinct().as[String].collect().sorted
+    val done = keptTable.committedPartitions intersect
+      verdictTable.committedPartitions intersect lineageTable.committedPartitions
+
+    days.map { day =>
+      if (done.contains(day)) {
+        PartitionReport(day, -1, -1, -1, 0, skipped = true)
+      } else {
+        if (failAtPartition.contains(day))
+          throw new RuntimeException(s"injected failure at partition $day")
+        val t0 = System.nanoTime()
+        val slice = withDay.filter(col("pdate") === day).drop("pdate")
+        val res = QualityPipeline.run(slice, cfg)
+        val kept = res.kept.cache()
+        val verdicts = res.verdicts.cache()
+        val nDocs = slice.count()
+        val nKept = kept.count()
+        val nVerdicts = verdicts.count()
+        keptTable.overwritePartition(kept, day)
+        verdictTable.overwritePartition(verdicts, day)
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val lineage = Seq((day, nDocs, nKept, nVerdicts, wallMs))
+          .toDF("partition", "n_docs", "n_kept", "n_verdicts", "wall_ms")
+        lineageTable.overwritePartition(lineage, day)
+        kept.unpersist(); verdicts.unpersist()
+        PartitionReport(day, nDocs, nKept, nVerdicts, wallMs, skipped = false)
+      }
+    }.toSeq
+  }
+
+  def readKept(spark: SparkSession, outRoot: String): DataFrame =
+    new ParquetLakeTable(spark, s"$outRoot/kept", "pdate").read(spark)
+  def readVerdicts(spark: SparkSession, outRoot: String): DataFrame =
+    new ParquetLakeTable(spark, s"$outRoot/verdicts", "pdate").read(spark)
+  def readLineage(spark: SparkSession, outRoot: String): DataFrame =
+    new ParquetLakeTable(spark, s"$outRoot/lineage", "pdate").read(spark)
+}

@@ -1,0 +1,151 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
+import graft.model.ColumnProfile
+
+/** Generic rule kernels. Each takes a keyed DataFrame and returns a
+  * verdict-shaped DataFrame `(key, rule, keep=false, score, detail)` —
+  * the Spark analogue of the reference's `add_to_bad_idx` rows
+  * (`/root/reference/src/improve_data_quality.py:674-719`).
+  *
+  * Scale notes per kernel are inline; the common theme: per-row rules are
+  * narrow (no shuffle); group rules shuffle ONLY on the group key (never
+  * on the full row); anything joined back to rows uses left-semi joins on
+  * the key so the payload (html/text) never crosses the wire twice.
+  */
+object Rules {
+
+  private def verdict(df: DataFrame, key: Column, rule: String,
+                      score: Column, detail: Column): DataFrame =
+    df.select(
+      key.as("url"),
+      lit(rule).as("rule"),
+      lit(false).as("keep"),
+      score.cast(DoubleType).as("score"),
+      detail.cast("string").as("detail"))
+
+  /** Exact duplicate detection, reference semantics
+    * (`improve_data_quality.py:286-298`): all-but-first occurrence of
+    * identical content is flagged, "first" = smallest key (pandas file
+    * order has no distributed analogue; SURVEY §2.3 fixes the tie-break
+    * to key asc). Implemented as a window over a CONTENT HASH, not the
+    * content itself — at 100 TB the shuffle must carry (key, 8-byte hash),
+    * never the document body.
+    */
+  def exactDup(df: DataFrame, key: Column, contentHash: Column): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col("url"))
+    val hashed = df.select(key.as("url"), contentHash.as("__h"))
+    val flagged = hashed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__first", first(col("url")).over(w))
+      .filter(col("__rn") > 1)
+    verdict(flagged, col("url"), "duplication",
+      lit(1.0), col("__first"))
+  }
+
+  /** Z-score extremes (`utils.py:190-232`). The reference's quirk is kept:
+    * the predicate is `NOT (x > lo AND x < hi)` so boundary-EQUAL values
+    * are flagged. Gate: only runs when uniqueness ∈ (0.0001, 0.99)
+    * (utils.py:221). Stats come from the broadcast profile (stddev_samp —
+    * pandas ddof=1), so the rule itself is a narrow filter: no shuffle.
+    */
+  def zScoreExtreme(df: DataFrame, key: Column, x: Column, name: String,
+                    prof: ColumnProfile, k: Double = 6.0): Option[DataFrame] = {
+    if (!(prof.uniqueness > 0.0001 && prof.uniqueness < 0.99)) return None
+    (prof.mean, prof.stddev) match {
+      case (Some(m), Some(s)) if !s.isNaN =>
+        val lo = m - k * s
+        val hi = m + k * s
+        val flagged = df.filter(x.isNotNull && !(x > lit(lo) && x < lit(hi)))
+        Some(verdict(flagged, key, s"extreme_$name",
+          abs(x - lit(m)) / lit(if (s == 0) 1.0 else s), x))
+      case _ => None
+    }
+  }
+
+  /** Per-class z-score (`improve_data_quality.py:721-766`, A6): within
+    * each value of a low-cardinality class column, z-score a numeric
+    * column; flag rows outside mean ± k·std of their class. One shuffle
+    * on the class key only. Class cardinality is profile-gated so the
+    * window partitions are many and small — with a skewed class column
+    * the two-pass salted variant in [[graft.pipeline]] applies.
+    */
+  def groupZScore(df: DataFrame, key: Column, cls: Column, x: Column,
+                  name: String, k: Double = 6.0): DataFrame = {
+    val w = Window.partitionBy(col("__cls"))
+    val scored = df.select(key.as("url"), cls.as("__cls"), x.as("__x"))
+      .filter(col("__x").isNotNull && col("__cls").isNotNull)
+      .withColumn("__m", avg(col("__x")).over(w))
+      .withColumn("__s", stddev_samp(col("__x")).over(w))
+      .filter(col("__s").isNotNull && col("__s") > 0 &&
+        !(col("__x") > col("__m") - lit(k) * col("__s") &&
+          col("__x") < col("__m") + lit(k) * col("__s")))
+    verdict(scored, col("url"), s"group_extreme_$name",
+      abs(col("__x") - col("__m")) / col("__s"),
+      concat_ws("=", col("__cls"), col("__x").cast("string")))
+  }
+
+  /** Rare-combination detector (`improve_data_quality.py:596-636`, A5):
+    * (c1, c2) groups with fewer than `minCount` members flag all their
+    * rows. groupBy on the pair key (tiny), then a broadcast semi-join
+    * back — the grouped side is bounded by the product of two
+    * low-cardinality columns, so the join never shuffles the fact table.
+    */
+  def rareCombo(df: DataFrame, key: Column, c1: Column, c2: Column,
+                n1: String, n2: String, minCount: Long = 10): DataFrame = {
+    val pairs = df.select(key.as("url"), c1.as("__c1"), c2.as("__c2"))
+      .filter(col("__c1").isNotNull && col("__c2").isNotNull)
+    val rare = pairs.groupBy(col("__c1"), col("__c2")).count()
+      .filter(col("count") < minCount)
+    val flagged = pairs.join(broadcast(rare), Seq("__c1", "__c2"), "inner")
+    verdict(flagged, col("url"), s"rare_combo_${n1}_$n2",
+      col("count"), concat_ws(",", col("__c1"), col("__c2")))
+  }
+
+  /** Tendency invariant (`utils.py:427-441`, A4): if P(a < b) > thresh
+    * over the corpus (denominator = total rows — the reference's quirk,
+    * kept), rows violating a < b (strictly a > b; ties exempt) are
+    * flagged. One tiny agg decides whether the rule arms; the flag pass
+    * is a narrow filter.
+    */
+  def tendency(df: DataFrame, key: Column, a: Column, b: Column,
+               n1: String, n2: String, thresh: Double = 0.999): Option[DataFrame] = {
+    val stats = df.agg(
+      sum((a < b).cast("long")).as("lt"),
+      count(lit(1)).as("n")).head()
+    val lt = Option(stats.getAs[Any]("lt")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val n = stats.getAs[Long]("n")
+    if (n == 0 || lt.toDouble / n <= thresh) None
+    else {
+      val flagged = df.filter(a.isNotNull && b.isNotNull && a > b)
+      Some(verdict(flagged, key, s"tendency_${n1}_$n2",
+        lit(lt.toDouble / n), concat_ws(">", a.cast("string"), b.cast("string"))))
+    }
+  }
+
+  /** Row-completeness (`utils.py:344-368`, A3): flag rows whose null
+    * fraction across all columns ≥ t1 AND whose null fraction across
+    * "mostly-present" columns (column null-mean < 0.8, from the broadcast
+    * profile) ≥ t2 — the intersection semantics of utils.py:366. Pure
+    * row-local expression: no shuffle.
+    */
+  def completeness(df: DataFrame, key: Column,
+                   profiles: Map[String, ColumnProfile],
+                   cols: Seq[String],
+                   t1: Double = 0.7, t2: Double = 0.5): DataFrame = {
+    val nullCount = cols.map(c => isnull(col(c)).cast("int")).reduce(_ + _)
+    val presentCols = cols.filter(c => profiles.get(c).forall(_.nullMean < 0.8))
+    val nullCountPresent =
+      if (presentCols.isEmpty) lit(0)
+      else presentCols.map(c => isnull(col(c)).cast("int")).reduce(_ + _)
+    val frac1 = nullCount.cast(DoubleType) / lit(cols.size)
+    val frac2 =
+      if (presentCols.isEmpty) lit(0.0)
+      else nullCountPresent.cast(DoubleType) / lit(presentCols.size)
+    val flagged = df.filter(frac1 >= t1 && frac2 >= t2)
+    verdict(flagged, key, "empty", frac1, lit("row_null_fraction"))
+  }
+}
