@@ -1,0 +1,689 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.functions.{Hashing, LangId, Scrub, TextFns}
+import graft.embed.Ann
+
+/** The driver-checked query surface: every operator family from SURVEY §2
+  * exposed as a (Spark implementation, DuckDB oracle SQL) pair over the
+  * driver's parquet tables. The SQL strings are assembled from the SAME
+  * constants as the Spark code (hash seeds, thresholds, stopword lists),
+  * so the two sides cannot drift silently.
+  *
+  * Conventions for oracle parity:
+  *  - every float column is `round(x, N)`; sums of doubles round to ≤4dp
+  *  - every count is BIGINT on both sides
+  *  - every query has a total ORDER BY (no tie-dependent output)
+  *  - tokenisation/normalisation fragments mirror TextFns exactly
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ======================================================================
+  // SQL fragments (DuckDB dialect) mirroring TextFns
+  // ======================================================================
+  object Frag {
+    /** whitespace tokens of trimmed text, empties dropped (TextFns.tokens) */
+    def toks(c: String): String =
+      s"list_filter(regexp_split_to_array(trim($c), '\\s+'), x -> x <> '')"
+    def nWords(c: String): String = s"len(${toks(c)})"
+    def norm(c: String): String =
+      s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+    def md5Long(c: String): String =
+      s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
+    def symbolCount(c: String): String =
+      s"(length($c) - length(regexp_replace($c, '[^A-Za-z0-9\\s]', '', 'g')))"
+    def sumTokLen(c: String): String =
+      s"list_sum(list_transform(${toks(c)}, t -> length(t)))"
+    def stopHits(c: String, words: Seq[String]): String = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(${toks(c)}, t -> lower(t) IN ($set)))"
+    }
+    def charShingles(c: String, k: Int): String =
+      s"(CASE WHEN length($c) >= $k THEN list_transform(generate_series(1, length($c) - ${k - 1}), i -> substr($c, CAST(i AS INT), $k)) ELSE [] END)"
+  }
+
+  // ======================================================================
+  // Relational core (TPC-H-ish: aggregate, join+topk, window, rollup)
+  // ======================================================================
+
+  val q1Agg: (SparkSession, String) => DataFrame = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      // string→timestamp cast uses the SESSION tz (UTC) — never
+      // Timestamp.valueOf, which silently uses the JVM default tz
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3TopRevenue: (SparkSession, String) => DataFrame = (s, dir) => {
+    val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    // dimension side broadcast: customer is tiny at every SF relative to lineitem
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q3TopRevenueSql: String =
+    """SELECT o_orderkey, c_mktsegment,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderkey, c_mktsegment
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  val qWindowRunning: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select("o_custkey", "o_orderkey", "rn", "running_total")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | row_number() OVER w AS rn,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  val qRollup: (SparkSession, String) => DataFrame = (s, dir) =>
+    tbl(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("__all__")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("__all__")).as("o_orderstatus"),
+        col("n"), col("total"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  val qRollupSql: String =
+    """SELECT coalesce(o_orderpriority, '__all__') AS o_orderpriority,
+      | coalesce(o_orderstatus, '__all__') AS o_orderstatus,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // ======================================================================
+  // Profiling (G1/G2/G5): one-pass per-column stats
+  // ======================================================================
+
+  val dqProfile: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val parts = cols.map { c =>
+      d.agg(
+        lit(c).as("column_name"),
+        count(col(c)).as("non_null"),
+        countDistinct(col(c)).as("distinct_cnt"),
+        round(countDistinct(col(c)).cast(DoubleType) /
+          nullif(count(col(c)), lit(0)), 6).as("uniqueness"),
+        round(avg(isnull(col(c)).cast(DoubleType)), 6).as("null_mean"))
+    }
+    parts.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  val dqProfileSql: String = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS non_null,
+         | count(DISTINCT $c) AS distinct_cnt,
+         | round(count(DISTINCT $c)::DOUBLE / nullif(count($c), 0), 6) AS uniqueness,
+         | round(avg(CASE WHEN $c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_mean
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ======================================================================
+  // Dedup family (D1-D4 + MinHash/SimHash/Jaccard near-dup)
+  // ======================================================================
+
+  /** Exact dedup over a deterministically augmented corpus (documents ∪
+    * copies of every 50th doc under new ids): all-but-first flagged,
+    * first = min doc_id (SURVEY §2.3 tie-break).
+    */
+  val dqExactDup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val aug = d.unionByName(
+      d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    aug.withColumn("__h", TextFns.fingerprint(col("text")))
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") > 1 && col("doc_id") =!= col("first_id"))
+      .select(col("doc_id"), lit("duplication").as("rule"), col("first_id"))
+      .orderBy("doc_id")
+  }
+
+  val dqExactDupSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+      |), g AS (
+      |  SELECT text, min(doc_id) AS first_id, count(*) AS c FROM aug GROUP BY text
+      |)
+      |SELECT a.doc_id, 'duplication' AS rule, g.first_id
+      |FROM aug a JOIN g ON a.text = g.text
+      |WHERE g.c > 1 AND a.doc_id <> g.first_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** MinHash signatures (k=4 for the oracle; the engine uses k=32). */
+  private val mhParams = Hashing.hashParams(4)
+
+  val dqMinHash: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val norm = TextFns.normText(col("text"))
+    val sig = Hashing.minHashSig(TextFns.charShingles(norm, 4), 4)
+    d.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
+        element_at(col("sig"), 3).as("mh2"), element_at(col("sig"), 4).as("mh3"))
+      .orderBy("doc_id")
+  }
+
+  val dqMinHashSql: String = {
+    val P = Hashing.P
+    val base = s"list_transform(${Frag.charShingles("n", 4)}, s -> ${Frag.md5Long("s")} % $P)"
+    val mhs = mhParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(base, h -> ($a * h + $b) % $P)) AS mh$i"
+    }.mkString(",\n ")
+    s"""WITH nt AS (SELECT doc_id, ${Frag.norm("text")} AS n FROM documents),
+       |bh AS (SELECT doc_id, $base AS base FROM nt)
+       |SELECT doc_id, $mhs
+       |FROM bh ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash (16-bit) over distinct lowercase tokens. */
+  val dqSimHash: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val toks = array_distinct(transform(TextFns.tokens(col("text")), t => lower(t)))
+    d.select(col("doc_id"), Hashing.simHash(toks, 16).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val dqSimHashSql: String = {
+    val bits = (0 until 16).map { b =>
+      s"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $b) & 1)) >= len(hs) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_transform(${Frag.toks("text")}, t -> lower(t))) AS toks
+       | FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t -> ${Frag.md5Long("t")}) AS hs FROM t)
+       |SELECT doc_id,
+       | (CASE WHEN len(hs) > 0 THEN $bits ELSE 0 END)::BIGINT AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** N-gram (3-word shingle) Jaccard near-dup pairs over an augmented
+    * corpus (every 100th doc gets a mutated copy — first word changed).
+    */
+  val dqNgramJaccard: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val mut = d.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "changed").as("text"))
+    val aug = d.unionByName(mut)
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val sh = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - lit(3)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(toks)
+    val sets = aug.select(col("doc_id"), array_distinct(sh).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs.withColumn("jaccard", round(col("shared").cast(DoubleType) /
+        (col("n1") + col("n2") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  val dqNgramJaccardSql: String = {
+    val toksNorm = Frag.toks(Frag.norm("text"))
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\\S+', 'changed') AS text
+       |  FROM documents WHERE doc_id % 100 = 0
+       |), t AS (
+       |  SELECT doc_id, $toksNorm AS toks FROM aug
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(generate_series(0, len(toks) - 3),
+       |         i -> concat_ws(' ', toks[CAST(i+1 AS INT)], toks[CAST(i+2 AS INT)], toks[CAST(i+3 AS INT)]))
+       |    ELSE toks END) AS sh
+       |  FROM t
+       |), sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, n, unnest(sh) AS tok FROM sized),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id1, id2, round(shared::DOUBLE / (n1 + n2 - shared), 6) AS jaccard
+       |FROM pairs WHERE round(shared::DOUBLE / (n1 + n2 - shared), 6) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ======================================================================
+  // Statistical rules (A1-A6 analogues)
+  // ======================================================================
+
+  val dqCompleteness: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .withColumn("n_words", TextFns.wordCount(col("text")).cast(LongType))
+      .filter(col("text").isNull || col("n_words") < 40)
+      .select(col("doc_id"), lit("empty").as("rule"), col("n_words"))
+      .orderBy("doc_id")
+
+  val dqCompletenessSql: String =
+    s"""SELECT doc_id, 'empty' AS rule, ${Frag.nWords("text")}::BIGINT AS n_words
+       |FROM documents
+       |WHERE text IS NULL OR ${Frag.nWords("text")} < 40
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus z-score extremes on n_chars, k=2; boundary-EQUAL values are
+    * flagged — the reference's `~((x>lo)&(x<hi))` quirk (utils.py:229-231).
+    */
+  val dqExtremeZscore: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val st = d.agg(avg(col("n_chars").cast(DoubleType)).as("m"),
+      stddev_samp(col("n_chars").cast(DoubleType)).as("sd"))
+    d.crossJoin(broadcast(st))
+      .filter(!(col("n_chars") > col("m") - lit(2) * col("sd") &&
+        col("n_chars") < col("m") + lit(2) * col("sd")))
+      .select(col("doc_id"), col("n_chars"),
+        round((col("n_chars") - col("m")) / col("sd"), 6).as("z"))
+      .orderBy("doc_id")
+  }
+
+  val dqExtremeZscoreSql: String =
+    """WITH s AS (SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS sd FROM documents)
+      |SELECT doc_id, n_chars, round((n_chars - s.m) / s.sd, 6) AS z
+      |FROM documents, s
+      |WHERE NOT (n_chars > s.m - 2 * s.sd AND n_chars < s.m + 2 * s.sd)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-language z-score (A6 analogue), k=1.5. */
+  val dqGroupZscore: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+    docs(s, dir)
+      .withColumn("m", avg(col("n_chars").cast(DoubleType)).over(w))
+      .withColumn("sd", stddev_samp(col("n_chars").cast(DoubleType)).over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0 &&
+        !(col("n_chars") > col("m") - lit(1.5) * col("sd") &&
+          col("n_chars") < col("m") + lit(1.5) * col("sd")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round((col("n_chars") - col("m")) / col("sd"), 6).as("z"))
+      .orderBy("doc_id")
+  }
+
+  val dqGroupZscoreSql: String =
+    """WITH s AS (SELECT lang, avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS sd
+      |           FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars, round((d.n_chars - s.m) / s.sd, 6) AS z
+      |FROM documents d JOIN s USING (lang)
+      |WHERE s.sd IS NOT NULL AND s.sd > 0
+      |  AND NOT (d.n_chars > s.m - 1.5 * s.sd AND d.n_chars < s.m + 1.5 * s.sd)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Rare (lang, source) combinations (A5 analogue), minCount=3. */
+  val dqRareCombo: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val g = d.groupBy("lang", "source").agg(count(lit(1)).as("combo_count"))
+      .filter(col("combo_count") < 3)
+    d.join(broadcast(g), Seq("lang", "source"))
+      .select("doc_id", "lang", "source", "combo_count")
+      .orderBy("doc_id")
+  }
+
+  val dqRareComboSql: String =
+    """WITH g AS (SELECT lang, source, count(*) AS combo_count
+      |           FROM documents GROUP BY lang, source)
+      |SELECT d.doc_id, d.lang, d.source, g.combo_count
+      |FROM documents d JOIN g USING (lang, source)
+      |WHERE g.combo_count < 3
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Tendency invariant (A4): arm when P(n_chars < 8·n_words) > 0.999
+    * over the corpus (denominator = all rows — the reference's quirk),
+    * then flag violators.
+    */
+  val dqTendency: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+      .withColumn("n_words", TextFns.wordCount(col("text")).cast(LongType))
+    val st = d.agg((sum((col("n_chars") < lit(8) * col("n_words")).cast(LongType))
+      .cast(DoubleType) / count(lit(1))).as("p"))
+    d.crossJoin(broadcast(st))
+      .filter(col("p") > 0.999 && col("n_chars") > lit(8) * col("n_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), round(col("p"), 6).as("p"))
+      .orderBy("doc_id")
+  }
+
+  val dqTendencySql: String =
+    s"""WITH f AS (SELECT doc_id, n_chars, ${Frag.nWords("text")}::BIGINT AS n_words FROM documents),
+       |s AS (SELECT sum(CASE WHEN n_chars < 8 * n_words THEN 1 ELSE 0 END)::DOUBLE / count(*) AS p FROM f)
+       |SELECT doc_id, n_chars, n_words, round(s.p, 6) AS p
+       |FROM f, s
+       |WHERE s.p > 0.999 AND n_chars > 8 * n_words
+       |ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // Text analysis (heuristics, langid, token counting, fingerprint)
+  // ======================================================================
+
+  val dqHeuristics: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = col("text")
+    docs(s, dir).select(
+        col("doc_id"),
+        TextFns.wordCount(t).cast(LongType).as("n_words"),
+        round(TextFns.symbolRatio(t), 6).as("symbol_ratio"),
+        round(TextFns.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextFns.meanWordLen(t), 6).as("mean_word_len"))
+      .withColumn("keep",
+        col("n_words") >= 30 && col("symbol_ratio") <= 0.1 &&
+          col("mean_word_len").between(2.0, 12.0))
+      .orderBy("doc_id")
+  }
+
+  val dqHeuristicsSql: String = {
+    val sw = Frag.stopHits("text", TextFns.StopwordsEn)
+    s"""WITH f AS (
+       | SELECT doc_id,
+       |  ${Frag.nWords("text")}::BIGINT AS n_words,
+       |  round(${Frag.symbolCount("text")}::DOUBLE / nullif(length(text), 0), 6) AS symbol_ratio,
+       |  round($sw::DOUBLE / nullif(${Frag.nWords("text")}, 0), 6) AS stopword_ratio,
+       |  round(${Frag.sumTokLen("text")}::DOUBLE / nullif(${Frag.nWords("text")}, 0), 6) AS mean_word_len
+       | FROM documents)
+       |SELECT doc_id, n_words, symbol_ratio, stopword_ratio, mean_word_len,
+       | (n_words >= 30 AND symbol_ratio <= 0.1 AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  val dqLangId: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir).select(
+        col("doc_id"),
+        LangId.markerLang(col("text")).as("detected_lang"),
+        col("lang").as("declared_lang"))
+      .withColumn("agree", col("detected_lang") === col("declared_lang"))
+      .orderBy("doc_id")
+
+  val dqLangIdSql: String = {
+    // argmax over (de, en, es, fr) in lang-asc order, ties → earlier lang;
+    // all-zero → 'und'. MUST mirror LangId.markerLang's reduceLeft.
+    val langs = LangId.Markers.toSeq.sortBy(_._1)
+    val hitExprs = langs.map { case (l, ws) =>
+      s"${Frag.stopHits("text", ws)} AS ${l}_hits"
+    }.mkString(",\n  ")
+    val names = langs.map(_._1)
+    def argmax(i: Int): String =
+      if (i == names.length - 1) s"'${names(i)}'"
+      else {
+        val ge = names.drop(i + 1).map(o => s"${names(i)}_hits >= ${o}_hits").mkString(" AND ")
+        s"CASE WHEN $ge THEN '${names(i)}' ELSE ${argmax(i + 1)} END"
+      }
+    val maxHits = names.map(n => s"${n}_hits").mkString("greatest(", ", ", ")")
+    s"""WITH h AS (
+       | SELECT doc_id, lang,
+       |  $hitExprs
+       | FROM documents)
+       |SELECT doc_id,
+       | (CASE WHEN $maxHits > 0 THEN ${argmax(0)} ELSE 'und' END) AS detected_lang,
+       | lang AS declared_lang,
+       | ((CASE WHEN $maxHits > 0 THEN ${argmax(0)} ELSE 'und' END) = lang) AS agree
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  val dqTokenCount: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir).select(
+        col("doc_id"),
+        TextFns.wordCount(col("text")).cast(LongType).as("n_ws_tokens"),
+        TextFns.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
+  val dqTokenCountSql: String =
+    s"""SELECT doc_id,
+       | ${Frag.nWords("text")}::BIGINT AS n_ws_tokens,
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val dqFingerprint: (SparkSession, String) => DataFrame = (s, dir) => {
+    val norm = TextFns.normText(col("text"))
+    docs(s, dir).select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("fp_md5"),
+        TextFns.fingerprint(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  val dqFingerprintSql: String =
+    s"""SELECT doc_id,
+       | md5(${Frag.norm("text")}) AS fp_md5,
+       | ${Frag.md5Long(Frag.norm("text"))} AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // Scrub (PII/toxicity) — patterns interpolated from Scrub.Patterns
+  // ======================================================================
+
+  /** PII is planted deterministically (the driver corpus has none), then
+    * scrubbed with the engine's pattern chain.
+    */
+  val dqScrub: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ssn 123-45-6789 ip 10.0.0.1 this is damn annoying"))
+    docs(s, dir).select(col("doc_id"), Scrub.scrubCol(pii).as("scrubbed_text"))
+      .withColumn("has_email", col("scrubbed_text").contains("<EMAIL>"))
+      .withColumn("has_tox", col("scrubbed_text").contains("<TOX>"))
+      .orderBy("doc_id")
+  }
+
+  val dqScrubSql: String = {
+    val pii = """text || ' contact user' || doc_id::VARCHAR || '@example.com call 555-123-' ||
+                | lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                | ' ssn 123-45-6789 ip 10.0.0.1 this is damn annoying'""".stripMargin
+    // DuckDB standard string literals keep backslashes verbatim — only
+    // single quotes need escaping for the regex to arrive intact.
+    val chain = Scrub.Patterns.foldLeft(s"($pii)") { case (acc, (p, r)) =>
+      val esc = p.replace("'", "''")
+      s"regexp_replace($acc, '$esc', '$r', 'g')"
+    }
+    s"""SELECT doc_id, $chain AS scrubbed_text,
+       | contains($chain, '<EMAIL>') AS has_email,
+       | contains($chain, '<TOX>') AS has_tox
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ======================================================================
+  // Embeddings: exact top-k cosine + LSH-bucketed ANN
+  // ======================================================================
+
+  val embKnn: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.bruteForceTopK(corpus, queries, 5)
+      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val embKnnSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |scored AS (
+      |  SELECT q.qid, c.id, list_cosine_similarity(q.qvec::DOUBLE[], c.vec::DOUBLE[]) AS cos
+      |  FROM q, c WHERE c.id <> q.qid
+      |), ranked AS (
+      |  SELECT qid, id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+      |  FROM scored
+      |)
+      |SELECT qid, id, round(cos, 4) AS cos_r, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** LSH-bucketed ANN — no SQL oracle (rows-only check); recall vs brute
+    * force is asserted in AnnSpec.
+    */
+  val embAnnLsh: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = 8)
+      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ======================================================================
+  // Multimodal plumbing: opaque binary + typed metadata
+  // ======================================================================
+
+  /** Binary payload plumbing: build bytes from text (the container has no
+    * image/audio libs — FIXTURES/spec: decode is stubbed, the Spark-side
+    * schema/partitioning/metadata path is real), extract typed metadata.
+    */
+  val mmBinaryMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        substring(hex(col("payload")), 1, 8).as("magic_hex"))
+      .orderBy("doc_id")
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id,
+      | octet_length(encode(text))::BIGINT AS n_bytes,
+      | substr(hex(encode(text)), 1, 8) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // Events: windowed aggregation + lag gaps (streaming's batch twin)
+  // ======================================================================
+
+  val evWindowAgg: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.streaming.EventStream.windowedCountsBatch(tbl(s, dir, "events"))
+      .orderBy("window_start", "event_type")
+
+  val evWindowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val evLagGaps: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    tbl(s, dir, "events")
+      // driver parquet timestamps are NTZ; cast interprets them in the
+      // UTC session tz, matching DuckDB's naive epoch_us
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+      .select("event_id", "user_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  val evLagGapsSql: String =
+    """SELECT event_id, user_id,
+      | epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ======================================================================
+  // Registry
+  // ======================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "dq_profile" -> dqProfile,
+    "dq_exact_dup" -> dqExactDup,
+    "dq_minhash" -> dqMinHash,
+    "dq_simhash" -> dqSimHash,
+    "dq_ngram_jaccard" -> dqNgramJaccard,
+    "dq_completeness" -> dqCompleteness,
+    "dq_extreme_zscore" -> dqExtremeZscore,
+    "dq_group_zscore" -> dqGroupZscore,
+    "dq_rare_combo" -> dqRareCombo,
+    "dq_tendency" -> dqTendency,
+    "dq_heuristics" -> dqHeuristics,
+    "dq_langid" -> dqLangId,
+    "dq_token_count" -> dqTokenCount,
+    "dq_fingerprint" -> dqFingerprint,
+    "dq_scrub" -> dqScrub,
+    "emb_knn" -> embKnn,
+    "emb_ann_lsh" -> embAnnLsh,
+    "mm_binary_meta" -> mmBinaryMeta,
+    "ev_window_agg" -> evWindowAgg,
+    "ev_lag_gaps" -> evLagGaps
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_top_revenue" -> q3TopRevenueSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_rollup" -> qRollupSql,
+    "dq_profile" -> dqProfileSql,
+    "dq_exact_dup" -> dqExactDupSql,
+    "dq_minhash" -> dqMinHashSql,
+    "dq_simhash" -> dqSimHashSql,
+    "dq_ngram_jaccard" -> dqNgramJaccardSql,
+    "dq_completeness" -> dqCompletenessSql,
+    "dq_extreme_zscore" -> dqExtremeZscoreSql,
+    "dq_group_zscore" -> dqGroupZscoreSql,
+    "dq_rare_combo" -> dqRareComboSql,
+    "dq_tendency" -> dqTendencySql,
+    "dq_heuristics" -> dqHeuristicsSql,
+    "dq_langid" -> dqLangIdSql,
+    "dq_token_count" -> dqTokenCountSql,
+    "dq_fingerprint" -> dqFingerprintSql,
+    "dq_scrub" -> dqScrubSql,
+    "emb_knn" -> embKnnSql,
+    // emb_ann_lsh: intentionally no oracle (approximate; rows-only check)
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "ev_window_agg" -> evWindowAggSql,
+    "ev_lag_gaps" -> evLagGapsSql
+  )
+}

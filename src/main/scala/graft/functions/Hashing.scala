@@ -76,12 +76,13 @@ object Hashing {
   def simHash(tokens: Column, bits: Int): Column = {
     val hs = transform(tokens, t => TextFns.md5Long(t))
     val n = size(hs)
-    (0 until bits).map { b =>
+    val sum = (0 until bits).map { b =>
       val ones = aggregate(hs, lit(0L),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
       // votes = ones - (n - ones) >= 0  ⇔  2*ones >= n
       when(lit(2L) * ones >= n.cast(LongType), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(n > 0, sum).otherwise(lit(0L)) // empty input ⇒ 0, not all-ones
   }
 
   /** Hamming distance between two simhashes (for near-dup thresholding). */
