@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch throughput over pause latency: the fused per-doc scorer
+  // allocates norm strings/token buffers at a rate G1 handles poorly on
+  // many-core local mode (observed 2× run-to-run variance)
+  "-XX:+UseParallelGC",
 )

@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: per-query wall times over SPARK_GRAFT_SF_DIR plus
+  * the end-to-end pipeline throughput (docs/sec) on a generated pages
+  * table. Prints ONE JSON line (driver contract).
+  */
 object Bench {
+
+  def timeIt[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** End-to-end keep/drop+scrub throughput on n generated pages. */
+  def pipelineDocsPerSec(spark: SparkSession, n: Long): (Double, Double) = {
+    val pages = graft.sources.PagesGen.generate(spark, n,
+      spark.sparkContext.defaultParallelism).toDF()
+    // materialize generation first so the pipeline timing is pipeline-only
+    pages.cache()
+    pages.count()
+    val sec = timeIt {
+      val res = graft.pipeline.QualityPipeline.run(pages)
+      res.kept.write.mode("overwrite").format("noop").save()
+      res.verdicts.write.mode("overwrite").format("noop").save()
+    }
+    pages.unpersist()
+    (n / sec, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val pipelineN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timeIt(fn(spark, sfDir).write.mode("overwrite")
+        .format("noop").save())
+      catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (docsPerSec, pipeSec) = pipelineDocsPerSec(spark, pipelineN)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 > 0).map(_._2).sum + pipeSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_docs":$pipelineN,"pipeline_sec":$pipeSec,""" +
+      s""""pipeline_docs_per_sec":$docsPerSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: per-phase wall times of the pipeline at a given (cpus, n). */
+object ProfilePipeline {
+  def t[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 32
+    val n = if (args.length > 1) args(1).toLong else 100000L
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.QualityPipeline._
+
+    if (args.length > 2 && args(2) == "nocache") {
+      // run() dataflow with NO persistence — cache-contention bisect
+      val pages = graft.sources.PagesGen.generate(spark, n, cpus).toDF()
+      t("gen+cache")(pages.cache().count())
+      val feat = features(pages)
+      val v1 = pass1(feat)
+      val dropped1 = v1.select("url").distinct()
+      val survivors = feat.join(dropped1, Seq("url"), "left_anti")
+      val statCols = survivors.select("url", "lang", "n_chars", "n_words", "perplexity")
+      t("stats aggs (no cache)") {
+        graft.profile.Profiler.profile(statCols.drop("url"))
+        graft.profile.Stats.moments(statCols, col("n_chars"))
+        graft.profile.Stats.moments(statCols, col("n_words"))
+      }
+      spark.stop(); return
+    }
+    if (args.length > 2 && args(2) == "full") {
+      // mimic Bench.pipelineDocsPerSec exactly, with phase splits
+      val pages = graft.sources.PagesGen.generate(spark, n, cpus).toDF()
+      t("gen+cache")(pages.cache().count())
+      val res = t("run() call (eager stats)")(run(pages))
+      t("kept write")(res.kept.write.mode("overwrite").format("noop").save())
+      t("verdicts write")(res.verdicts.write.mode("overwrite").format("noop").save())
+      spark.stop(); return
+    }
+
+    val pages = graft.sources.PagesGen.generate(spark, n, cpus).toDF()
+    t("gen+cache")(pages.cache().count())
+    val feat = features(pages).cache()
+    t("features materialize")(feat.count())
+    t("heuristics count")(heuristicVerdicts(feat, defaultConfig).count())
+    t("exactDup count")(exactDupVerdicts(feat).count())
+    t("nearDup count")(nearDupVerdicts(feat, defaultConfig).count())
+    val v1 = pass1(feat)
+    val dropped1 = t("pass1+dropped1 cache")(
+      v1.select("url").distinct().cache())
+    t("dropped1 count")(dropped1.count())
+    val survivors = feat.join(dropped1, Seq("url"), "left_anti")
+    val statCols = survivors.select("url", "lang", "n_chars", "n_words", "perplexity").cache()
+    t("statCols materialize")(statCols.count())
+    t("profiler")(graft.profile.Profiler.profile(statCols.drop("url")))
+    t("moments n_chars")(graft.profile.Stats.moments(statCols, col("n_chars")))
+    t("moments n_words")(graft.profile.Stats.moments(statCols, col("n_words")))
+    t("tendency agg")(graft.rules.Rules.tendency(statCols, col("url"),
+      col("n_words"), col("n_chars"), "a", "b"))
+    val v2 = pass2(survivors)
+    t("v2 count")(v2.count())
+    val kept = survivors.join(v2.select("url").distinct(), Seq("url"), "left_anti")
+      .select(col("url"), graft.functions.Scrub.scrubCol(col("text")).as("s"))
+    t("kept write")(kept.write.mode("overwrite").format("noop").save())
+    t("verdicts write")(v1.unionByName(v2).write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}

@@ -258,13 +258,18 @@ object Queries {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "changed").as("text"))
     val aug = d.unionByName(mut)
-    val toks = TextFns.tokens(TextFns.normText(col("text")))
-    val sh = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - lit(3)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(toks)
-    val sets = aug.select(col("doc_id"), array_distinct(sh).as("sh"))
+    // stage the token array as a column BEFORE the shingle lambda — an
+    // inline subtree would re-tokenise per shingle (see QualityPipeline
+    // .features scaladoc)
+    val toks = col("__toks")
+    val sets = aug
+      .withColumn("__toks", TextFns.tokens(TextFns.normText(col("text"))))
+      .withColumn("sh", array_distinct(when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - lit(3)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+        .otherwise(toks)))
       .withColumn("n", size(col("sh")))
+      .select("doc_id", "sh", "n")
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -572,7 +577,7 @@ object Queries {
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = 8)
+    Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = 6, tables = 12)
       .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"), col("rank"))
       .orderBy("qid", "rank")
   }

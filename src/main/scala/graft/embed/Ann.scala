@@ -47,40 +47,57 @@ object Ann {
       .select("qid", "id", "cos", "rank")
   }
 
-  /** Deterministic hyperplane components for sign-random-projection. */
-  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+  /** Deterministic hyperplane components for sign-random-projection;
+    * `tables * nBits` planes from a fixed xorshift stream.
+    */
+  def hyperplanes(dim: Int, nBits: Int, tables: Int): Array[Array[Array[Double]]] = {
     var s = 0x5deece66dL
     def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
-    Array.tabulate(nBits, dim) { (_, _) =>
+    Array.tabulate(tables, nBits, dim) { (_, _, _) =>
       // uniform in [-1, 1) — direction-only use, no need for gaussian
       (next() >>> 11) * 2.2204460492503131e-16 - 1.0
     }
   }
 
-  /** nBits-bit SRP signature of a vector column. */
-  def srpSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val planes = hyperplanes(dim, nBits)
-    planes.zipWithIndex.map { case (p, b) =>
-      val pl = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vec, pl, (x, h) => x.cast(DoubleType) * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Array of per-table SRP bucket signatures for a vector column. */
+  def srpSignatures(vec: Column, dim: Int, nBits: Int, tables: Int): Column = {
+    val planes = hyperplanes(dim, nBits, tables)
+    array(planes.zipWithIndex.map { case (tbl, t) =>
+      val sig = tbl.zipWithIndex.map { case (p, b) =>
+        val pl = array(p.map(lit): _*)
+        val d = aggregate(zip_with(vec, pl, (x, h) => x.cast(DoubleType) * h),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), sig.as("bucket"))
+    }: _*)
   }
 
-  /** Bucketed ANN: candidates share the query's SRP bucket; exact cosine
-    * rank within bucket. Same output schema as bruteForceTopK.
+  /** Multi-table bucketed ANN: a corpus vector is a candidate for a query
+    * iff they share a bucket in ANY of the `tables` hash tables (standard
+    * LSH union amplification); exact cosine rank over the deduped
+    * candidate set. Candidates are found by an equi-join on
+    * (table, bucket) — at 10⁹+ vectors this is a hash-partitioned join on
+    * uniform keys, never a full scan per query.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nBits: Int = 8, excludeSelf: Boolean = true): DataFrame = {
-    val cb = corpus.withColumn("bucket", srpSignature(col("vec"), dim, nBits))
-    val qb = queries.withColumn("bucket", srpSignature(col("qvec"), dim, nBits))
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+              nBits: Int = 6, tables: Int = 12,
+              excludeSelf: Boolean = true): DataFrame = {
+    def withBuckets(df: DataFrame, vecCol: String) =
+      df.withColumn("tb", explode(srpSignatures(col(vecCol), dim, nBits, tables)))
+        .withColumn("table", col("tb.table"))
+        .withColumn("bucket", col("tb.bucket"))
+        .drop("tb")
+    val cb = withBuckets(corpus, "vec")
+    val qb = withBuckets(queries, "qvec")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
-      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .select("qid", "qvec", "id", "vec")
+      .dropDuplicates("qid", "id")
+    val scored = cands.withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
-    joined.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "cos", "rank")
   }

@@ -85,6 +85,25 @@ object LangIdModel {
     Model(langs, lp, dflt)
   }
 
+  /** Hash-keyed view of the model for the zero-allocation scorer
+    * ([[DocStats]]): trigram → logProb keyed by FNV-1a of the 3 chars.
+    */
+  final case class FastModel(langs: Array[String],
+                             tables: Array[LongDoubleMap],
+                             defaults: Array[Double])
+
+  lazy val fastModel: FastModel = {
+    val m = model
+    val tables = m.langs.indices.map { i =>
+      val t = new LongDoubleMap(m.logProb(i).size() + 1)
+      m.logProb(i).forEach { (gram, lp) =>
+        t.put(DocStats.fnv1a(gram, 0, gram.length), lp)
+      }
+      t
+    }.toArray
+    FastModel(m.langs, tables, m.defaultLogProb)
+  }
+
   /** Returns (bestLang, normalizedScore). Score = best mean per-trigram
     * log-likelihood margin over the runner-up (≥ 0; higher = more
     * confident). Empty/too-short text ⇒ ("und", 0.0).

@@ -48,6 +48,34 @@ object CharLm {
     Model(ctxCount, gramCount, chars.size.toDouble + 1.0)
   }
 
+  /** Hash-keyed LOG-prob tables for the zero-allocation scorer
+    * ([[DocStats]]): `math.log` per trigram was ~1500 log() calls per
+    * document — precomputing log P(c|ctx) for seen grams, the per-context
+    * unseen-gram default, and the global default removes every log from
+    * the hot loop. Values are built with the IDENTICAL expression the
+    * reference path uses, so the summed doubles match bit-for-bit.
+    */
+  lazy val fastGramLogProb: LongDoubleMap = {
+    val t = new LongDoubleMap(model.cnt.size() + 1)
+    model.cnt.forEach { (g, c) =>
+      val ctx = g.substring(0, Order - 1)
+      val cc = model.ctx.get(ctx)
+      val den = (if (cc == null) 0.0 else cc.doubleValue()) + Alpha * model.vocab
+      t.put(DocStats.fnv1a(g, 0, g.length), math.log((c + Alpha) / den))
+    }
+    t
+  }
+  lazy val fastCtxDefaultLogProb: LongDoubleMap = {
+    val t = new LongDoubleMap(model.ctx.size() + 1)
+    model.ctx.forEach { (g, c) =>
+      t.put(DocStats.fnv1a(g, 0, g.length),
+        math.log(Alpha / (c + Alpha * model.vocab)))
+    }
+    t
+  }
+  lazy val globalDefaultLogProb: Double =
+    math.log(Alpha / (Alpha * model.vocab))
+
   /** Perplexity = exp(-mean log P(c | ctx)). Short/empty text ⇒ 1.0. */
   def perplexity(text: String): Double = {
     val m = model

@@ -60,7 +60,8 @@ object TextFns {
       .cast(DoubleType) / nullif(size(toks), lit(0))
   }
 
-  private def hitsIn(toks: Column, words: Seq[String]): Column = {
+  /** Count of tokens (lowercased) appearing in `words`. */
+  def hitsIn(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
     size(filter(toks, t => array_contains(set, lower(t))))
   }

@@ -19,11 +19,9 @@ import graft.io.ParquetLakeTable
   * bookkeeping role.
   *
   * Corpus-level statistics (pass-2 z-score gates) must not drift between
-  * a straight run and a resumed run, so the caller processes each
-  * partition with the pipeline's per-partition semantics — the verdict
-  * tables are unioned by read() afterwards. (For whole-corpus stats, run
-  * the profile stage first and pass it in — see QualityPipeline.pass2's
-  * `precomputedProfiles`.)
+  * a straight run and a resumed run, so each partition is processed with
+  * the pipeline's per-partition semantics (stats computed within the
+  * partition) — the verdict tables are unioned by read() afterwards.
   */
 object Checkpointer {
 

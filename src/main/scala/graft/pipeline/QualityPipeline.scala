@@ -35,8 +35,9 @@ object QualityPipeline {
       minStopwordRatio: Double = 0.01,   // en docs only (C4 needs stopwords)
       minMeanWordLen: Double = 2.0,      // Gopher word-length window
       maxMeanWordLen: Double = 12.0,
-      maxPerplexity: Double = 120.0,     // LM junk threshold
+      maxPerplexity: Double = 12.0,      // LM junk threshold (clean ≤ ~7.2, gibberish ≥ ~34 on the fixture)
       zScoreK: Double = 6.0,             // reference default (utils.py:190)
+      groupZK: Double = 10.0,            // per-lang ppl outliers: conservative (abs rule is primary)
       langIdMinMargin: Double = 0.35,    // mismatch rule confidence gate
       maxDupLineRatio: Double = 0.30,    // line-dedup (C4 boilerplate)
       minHashK: Int = 32,                // signature width
@@ -51,34 +52,34 @@ object QualityPipeline {
   // ---------------------------------------------------------------------
   // Stage 1: fused per-document features — one narrow pass over `text`.
   // ---------------------------------------------------------------------
-  def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val text = col("text")
-    val norm = TextFns.normText(text)
-    val lns = TextFns.lines(text)
-    val toks = TextFns.tokens(norm)
-    val wordShingles = when(size(toks) >= 5,
-      transform(sequence(lit(0), size(toks) - lit(5)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
-      .otherwise(toks)
-    pages
-      .withColumn("n_chars", coalesce(length(text), lit(0)))
-      .withColumn("n_words", coalesce(TextFns.wordCount(text), lit(0)))
-      .withColumn("mean_word_len", TextFns.meanWordLen(text))
-      .withColumn("symbol_ratio", TextFns.symbolRatio(text))
-      .withColumn("stopword_ratio", TextFns.stopwordRatio(text))
-      .withColumn("toxicity_hits", coalesce(TextFns.toxicityHits(text), lit(0)))
-      .withColumn("n_lines", coalesce(size(lns), lit(0)))
-      .withColumn("n_distinct_lines", coalesce(size(array_distinct(lns)), lit(0)))
-      .withColumn("dup_line_ratio",
-        when(col("n_lines") > 0,
-          lit(1.0) - col("n_distinct_lines").cast(DoubleType) / col("n_lines"))
-          .otherwise(lit(0.0)))
-      .withColumn("lang_id", LangId.langIdStruct(coalesce(text, lit(""))))
-      .withColumn("perplexity", Perplexity.perplexityCol(coalesce(text, lit(""))))
-      .withColumn("fingerprint", TextFns.fingerprint(coalesce(text, lit(""))))
-      .withColumn("minhash_sig",
-        Hashing.minHashSig(wordShingles, cfg.minHashK))
-  }
+  /** All per-doc features come from ONE fused expression
+    * ([[graft.functions.DocStats]]) — a single tight JVM pass per
+    * document (~10 µs/doc). The composed Column/higher-order-function
+    * version measured ~16 ms/doc (HOF lambdas are interpreted per
+    * element, and any Column subtree referenced inside a lambda
+    * re-evaluates per element — see DocStats scaladoc). TextFns remains
+    * the semantic reference; DocStatsSpec cross-validates the two paths.
+    */
+  def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame =
+    // html is the raw payload (text extraction input) — nothing after the
+    // feature stage reads it, and caching it would double the working set
+    pages.drop("html")
+      .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")), cfg.minHashK))
+      .withColumn("n_chars", col("__ds.n_chars"))
+      .withColumn("n_words", col("__ds.n_words"))
+      .withColumn("mean_word_len", col("__ds.mean_word_len"))
+      .withColumn("symbol_ratio", col("__ds.symbol_ratio"))
+      .withColumn("stopword_ratio", col("__ds.stopword_ratio"))
+      .withColumn("toxicity_hits", col("__ds.toxicity_hits"))
+      .withColumn("n_lines", col("__ds.n_lines"))
+      .withColumn("n_distinct_lines", col("__ds.n_distinct_lines"))
+      .withColumn("dup_line_ratio", col("__ds.dup_line_ratio"))
+      .withColumn("lang_id", struct(
+        col("__ds.lang").as("lang"), col("__ds.lang_score").as("score")))
+      .withColumn("perplexity", col("__ds.perplexity"))
+      .withColumn("fingerprint", col("__ds.fingerprint"))
+      .withColumn("minhash_sig", col("__ds.minhash_sig"))
+      .drop("__ds")
 
   // ---------------------------------------------------------------------
   // Pass 1 rules
@@ -134,22 +135,31 @@ object QualityPipeline {
   def nearDupVerdicts(feat: DataFrame, cfg: Config): DataFrame = {
     val sigs = feat
       .filter(col("text").isNotNull && col("n_words") >= lit(5))
-      .select(col("url"), col("minhash_sig"),
-        Hashing.bandKeys(col("minhash_sig"), cfg.bands, cfg.rowsPerBand).as("bnd"))
-    val exploded = sigs.select(col("url"), col("minhash_sig"),
-      explode(col("bnd")).as("b"))
-      .select(col("url"), col("minhash_sig"),
-        col("b.band").as("band"), col("b.key").as("key"))
-    // pair candidates within a bucket: self-join on (band,key), url1 < url2
-    val left = exploded.select(col("band"), col("key"),
-      col("url").as("url1"), col("minhash_sig").as("sig1"))
-    val right = exploded.select(col("band"), col("key"),
-      col("url").as("url2"), col("minhash_sig").as("sig2"))
-    val pairs = left.join(right, Seq("band", "key"))
-      .filter(col("url1") < col("url2"))
-      .select(col("url1"), col("url2"), col("sig1"), col("sig2"))
+      .select(col("url"), col("minhash_sig"))
+    // candidate discovery shuffles ONLY (url, band, key) — never the
+    // signature (the exploded bands would otherwise carry `bands` copies
+    // of every signature through the shuffle)
+    val bands = sigs
+      .select(col("url"),
+        explode(Hashing.bandKeys(col("minhash_sig"), cfg.bands, cfg.rowsPerBand)).as("b"))
+      .select(col("url"), col("b.band").as("band"), col("b.key").as("key"))
+    // HUB pairING, not all-pairs: each bucket member pairs with the
+    // bucket's min url only. An all-pairs self-join is O(|bucket|²) and a
+    // single template-heavy bucket (boilerplate, shared page furniture)
+    // detonates it at web scale; the hub star gives O(|bucket|) pairs and
+    // — since the survivor of a near-dup cluster is its min url anyway —
+    // the same keep/drop decisions for clusters that share buckets.
+    val hubW = Window.partitionBy(col("band"), col("key"))
+    val pairs = bands
+      .withColumn("hub", min(col("url")).over(hubW))
+      .filter(col("url") =!= col("hub"))
+      .select(col("hub").as("url1"), col("url").as("url2"))
       .dropDuplicates("url1", "url2")
-    val jac = pairs.withColumn("jaccard",
+    // verify candidates: join signatures back (pairs ≪ corpus)
+    val withSigs = pairs
+      .join(sigs.select(col("url").as("url1"), col("minhash_sig").as("sig1")), Seq("url1"))
+      .join(sigs.select(col("url").as("url2"), col("minhash_sig").as("sig2")), Seq("url2"))
+    val jac = withSigs.withColumn("jaccard",
       aggregate(zip_with(col("sig1"), col("sig2"),
         (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast(DoubleType) / lit(cfg.minHashK))
@@ -169,23 +179,57 @@ object QualityPipeline {
   // ---------------------------------------------------------------------
   // Pass 2 — corpus-stat rules over pass-1 survivors
   // ---------------------------------------------------------------------
-  def pass2(survivors: DataFrame, cfg: Config = defaultConfig,
-            precomputedProfiles: Option[Map[String, ColumnProfile]] = None): DataFrame = {
+  /** Pass-2 corpus statistics (z-score gates + moments + tendency arming)
+    * come from ONE fused aggregation job — separate Profiler/moments/
+    * tendency actions each cost a full job round-trip, and those fixed
+    * latencies (not compute) were the scaling-efficiency ceiling.
+    * All sums are exact decimals (order-independent — see Stats).
+    */
+  def pass2(survivors: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val statCols = survivors.select("url", "lang", "n_chars", "n_words", "perplexity")
-    val profs = precomputedProfiles.getOrElse(
-      Profiler.profile(statCols.drop("url")))
-    val extremes = Seq("n_chars", "n_words").flatMap { c =>
-      profs.get(c).flatMap(p =>
-        Rules.zScoreExtreme(statCols, col("url"), col(c), c, p, cfg.zScoreK))
+      .cache()
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: String) = col(c).cast(DecimalType(38, 10))
+    def decSq(c: String) =
+      col(c).cast(DecimalType(19, 5)) * col(c).cast(DecimalType(19, 5))
+    val row = statCols.agg(
+      count(col("n_chars")).as("nc_n"), countDistinct(col("n_chars")).as("nc_d"),
+      sum(dec("n_chars")).as("nc_s"), sum(decSq("n_chars")).as("nc_s2"),
+      count(col("n_words")).as("nw_n"), countDistinct(col("n_words")).as("nw_d"),
+      sum(dec("n_words")).as("nw_s"), sum(decSq("n_words")).as("nw_s2"),
+      sum((col("n_words") < col("n_chars")).cast("long")).as("tend_lt"),
+      count(lit(1)).as("total")).head()
+    def momentsOf(p: String) = graft.profile.Stats.fromSums(
+      row.getAs[Long](s"${p}_n"),
+      row.getAs[java.math.BigDecimal](s"${p}_s"),
+      row.getAs[java.math.BigDecimal](s"${p}_s2"))
+    def uniqOf(p: String) = {
+      val n = row.getAs[Long](s"${p}_n")
+      if (n == 0) 0.0 else row.getAs[Long](s"${p}_d").toDouble / n
+    }
+    val extremes = Seq("n_chars" -> "nc", "n_words" -> "nw").flatMap {
+      case (c, p) =>
+        Rules.zScoreExtreme(statCols, col("url"), col(c), c,
+          uniqOf(p), momentsOf(p), cfg.zScoreK)
     }
     val groupZ = Rules.groupZScore(statCols, col("url"), col("lang"),
-      col("perplexity"), "perplexity", cfg.zScoreK)
+      col("perplexity"), "perplexity", cfg.groupZK)
     val rare = Rules.rareCombo(
-      survivors.withColumn("tld", regexp_extract(col("url"),
+      statCols.withColumn("tld", regexp_extract(col("url"),
         "https?://[^/]*?(\\.[a-z]+)(?:[:/]|$)", 1)),
       col("url"), col("lang"), col("tld"), "lang", "tld", cfg.rareComboMin)
-    val tend = Rules.tendency(statCols, col("url"),
-      col("n_words"), col("n_chars"), "n_words", "n_chars")
+    // tendency (A4): armed from the fused stats row; quirk preserved
+    // (denominator = all rows)
+    val total = row.getAs[Long]("total")
+    val lt = Option(row.getAs[Any]("tend_lt")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tend =
+      if (total == 0 || lt.toDouble / total <= 0.999) None
+      else Some(statCols
+        .filter(col("n_words").isNotNull && col("n_chars").isNotNull &&
+          col("n_words") > col("n_chars"))
+        .select(col("url"), lit("tendency_n_words_n_chars").as("rule"),
+          lit(false).as("keep"), lit(lt.toDouble / total).cast(DoubleType).as("score"),
+          concat_ws(">", col("n_words"), col("n_chars")).as("detail")))
     (extremes ++ Seq(groupZ, rare) ++ tend.toSeq)
       .reduceOption(_ unionByName _)
       .getOrElse(statCols.sparkSession.createDataFrame(
@@ -203,11 +247,24 @@ object QualityPipeline {
     * paths produce byte-identical output (property-tested).
     */
   def run(pages: DataFrame, cfg: Config = defaultConfig,
-          fusedScrub: Boolean = false): Result = {
+          fusedScrub: Boolean = true): Result = {
     val feat = features(pages, cfg).cache()
-    val v1 = pass1(feat, cfg)
-    val survivors = feat.join(v1.select("url").distinct(), Seq("url"), "left_anti")
-    val v2 = pass2(survivors, cfg)
+    // MATERIALIZATION BARRIER: pass-1 is a union of three independent
+    // branches that all scan `feat`; without forcing the cache first,
+    // their stages run concurrently against a cold cache and each branch
+    // recomputes the feature projection (observed 2× wall at high
+    // parallelism from duplicate work + memory-store contention)
+    feat.count()
+    // verdicts are tiny relative to pages — caching v1 (and the url-only
+    // drop-set) means neither the dedup joins nor pass-1 re-run for any
+    // downstream action (pass-2 stats, kept build, verdict write)
+    val v1 = pass1(feat, cfg).cache()
+    val dropped1 = v1.select("url").distinct().cache()
+    dropped1.count()
+    val survivors = feat.join(dropped1, Seq("url"), "left_anti")
+    // v2 is small; caching it keeps the kept-build and the verdict write
+    // from re-running the pass-2 group joins
+    val v2 = pass2(survivors, cfg).cache()
     val verdicts = v1.unionByName(v2)
     val scrub: Column => Column =
       if (fusedScrub) Scrub.scrubFused else Scrub.scrubCol

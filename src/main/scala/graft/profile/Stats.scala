@@ -1,0 +1,70 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent moments.
+  *
+  * Double-precision `avg`/`stddev_samp` depend on partial-aggregation
+  * order, so the same data at different partition counts yields bounds
+  * that differ by ±ulp — enough to flip a borderline z-score flag and
+  * break run-to-run determinism (a hard requirement: verdicts must be
+  * identical at N and 4N executors). Summing as DECIMAL is exact and
+  * therefore order-independent; mean/std are derived driver-side from
+  * the exact (n, Σx, Σx²).
+  */
+object Stats {
+
+  final case class Moments(n: Long, mean: Double, stddevSamp: Double)
+
+  private val Dec = DecimalType(38, 10)
+
+  /** Exact moments for one numeric column (nulls excluded). */
+  def moments(df: DataFrame, x: Column): Moments = {
+    val d = x.cast(Dec)
+    val row = df.agg(
+      count(x).as("n"),
+      sum(d).as("s"),
+      sum((x.cast(DecimalType(19, 5)) * x.cast(DecimalType(19, 5)))).as("s2")
+    ).head()
+    val n = row.getAs[Long]("n")
+    if (n == 0) return Moments(0, Double.NaN, Double.NaN)
+    val s = row.getAs[java.math.BigDecimal]("s")
+    val s2 = row.getAs[java.math.BigDecimal]("s2")
+    fromSums(n, s, s2)
+  }
+
+  /** Per-class exact moments: groupBy + decimal sums (partial-agg
+    * friendly — no window sort, map-side combine applies).
+    */
+  def groupedMoments(df: DataFrame, cls: Column, x: Column): DataFrame =
+    df.filter(x.isNotNull && cls.isNotNull)
+      .groupBy(cls.as("__cls"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(x.cast(Dec)).as("__s"),
+        sum(x.cast(DecimalType(19, 5)) * x.cast(DecimalType(19, 5))).as("__s2"))
+
+  def fromSums(n: Long, s: java.math.BigDecimal, s2: java.math.BigDecimal): Moments = {
+    val mean = s.doubleValue() / n
+    val variance =
+      if (n < 2) Double.NaN
+      else {
+        val sd = s.doubleValue()
+        (s2.doubleValue() - sd * sd / n) / (n - 1)
+      }
+    Moments(n, mean, math.sqrt(math.max(0.0, variance)))
+  }
+
+  /** Columns deriving mean/std (sample) from grouped exact sums — usable
+    * directly after [[groupedMoments]] join.
+    */
+  def meanCol: Column = col("__s").cast("double") / col("__n")
+  def stdCol: Column = {
+    val n = col("__n").cast("double")
+    val s = col("__s").cast("double")
+    sqrt(greatest(lit(0.0),
+      (col("__s2").cast("double") - s * s / n) / (n - lit(1.0))))
+  }
+}

@@ -49,42 +49,44 @@ object Rules {
   /** Z-score extremes (`utils.py:190-232`). The reference's quirk is kept:
     * the predicate is `NOT (x > lo AND x < hi)` so boundary-EQUAL values
     * are flagged. Gate: only runs when uniqueness ∈ (0.0001, 0.99)
-    * (utils.py:221). Stats come from the broadcast profile (stddev_samp —
-    * pandas ddof=1), so the rule itself is a narrow filter: no shuffle.
+    * (utils.py:221). Stats are ORDER-INDEPENDENT exact moments
+    * ([[graft.profile.Stats]]) so the flag set is identical at any
+    * partitioning; the rule itself is a narrow filter: no shuffle.
     */
   def zScoreExtreme(df: DataFrame, key: Column, x: Column, name: String,
-                    prof: ColumnProfile, k: Double = 6.0): Option[DataFrame] = {
-    if (!(prof.uniqueness > 0.0001 && prof.uniqueness < 0.99)) return None
-    (prof.mean, prof.stddev) match {
-      case (Some(m), Some(s)) if !s.isNaN =>
-        val lo = m - k * s
-        val hi = m + k * s
-        val flagged = df.filter(x.isNotNull && !(x > lit(lo) && x < lit(hi)))
-        Some(verdict(flagged, key, s"extreme_$name",
-          abs(x - lit(m)) / lit(if (s == 0) 1.0 else s), x))
-      case _ => None
-    }
+                    uniqueness: Double, m: graft.profile.Stats.Moments,
+                    k: Double = 6.0): Option[DataFrame] = {
+    if (!(uniqueness > 0.0001 && uniqueness < 0.99)) return None
+    if (m.n < 2 || m.stddevSamp.isNaN || m.stddevSamp == 0.0) return None
+    val lo = m.mean - k * m.stddevSamp
+    val hi = m.mean + k * m.stddevSamp
+    val flagged = df.filter(x.isNotNull && !(x > lit(lo) && x < lit(hi)))
+    Some(verdict(flagged, key, s"extreme_$name",
+      abs(x - lit(m.mean)) / lit(m.stddevSamp), x))
   }
 
   /** Per-class z-score (`improve_data_quality.py:721-766`, A6): within
     * each value of a low-cardinality class column, z-score a numeric
-    * column; flag rows outside mean ± k·std of their class. One shuffle
-    * on the class key only. Class cardinality is profile-gated so the
-    * window partitions are many and small — with a skewed class column
-    * the two-pass salted variant in [[graft.pipeline]] applies.
+    * column; flag rows outside mean ± k·std of their class. Implemented
+    * as groupBy + exact decimal moments + broadcast join-back: map-side
+    * partial aggregation (no window sort), one shuffle of (class, sums)
+    * only, and order-independent bounds — identical verdicts at any
+    * cluster size.
     */
   def groupZScore(df: DataFrame, key: Column, cls: Column, x: Column,
                   name: String, k: Double = 6.0): DataFrame = {
-    val w = Window.partitionBy(col("__cls"))
-    val scored = df.select(key.as("url"), cls.as("__cls"), x.as("__x"))
+    val base = df.select(key.as("url"), cls.as("__cls"), x.as("__x"))
       .filter(col("__x").isNotNull && col("__cls").isNotNull)
-      .withColumn("__m", avg(col("__x")).over(w))
-      .withColumn("__s", stddev_samp(col("__x")).over(w))
-      .filter(col("__s").isNotNull && col("__s") > 0 &&
-        !(col("__x") > col("__m") - lit(k) * col("__s") &&
-          col("__x") < col("__m") + lit(k) * col("__s")))
+    val stats = graft.profile.Stats.groupedMoments(base, col("__cls"), col("__x"))
+      .withColumn("__m", graft.profile.Stats.meanCol)
+      .withColumn("__sd", graft.profile.Stats.stdCol)
+      .select("__cls", "__n", "__m", "__sd")
+    val scored = base.join(broadcast(stats), Seq("__cls"))
+      .filter(col("__n") >= 2 && col("__sd") > 0 &&
+        !(col("__x") > col("__m") - lit(k) * col("__sd") &&
+          col("__x") < col("__m") + lit(k) * col("__sd")))
     verdict(scored, col("url"), s"group_extreme_$name",
-      abs(col("__x") - col("__m")) / col("__s"),
+      abs(col("__x") - col("__m")) / col("__sd"),
       concat_ws("=", col("__cls"), col("__x").cast("string")))
   }
 

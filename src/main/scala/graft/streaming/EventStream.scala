@@ -33,6 +33,9 @@ object EventStream {
       .schema(schemaFrom.schema)
       .parquet(sourceDir)
     stream
+      // parquet NTZ timestamps → session-tz TIMESTAMP (watermarks
+      // require an instant type)
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

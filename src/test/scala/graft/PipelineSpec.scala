@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.QualityPipeline
+import graft.sources.PagesGen
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 3000L
+  private lazy val pages = PagesGen.generate(spark, N, 8).toDF().cache()
+  private lazy val result = QualityPipeline.run(pages)
+  private lazy val dropped: Set[String] = result.verdicts
+    .select("url").distinct().collect().map(_.getString(0)).toSet
+  private lazy val keptUrls: Set[String] = result.kept
+    .select("url").collect().map(_.getString(0)).toSet
+
+  private def idOf(url: String): Long = url.split("/p/")(1).toLong
+
+  /** Golden drop-set (FIXTURES.md §2), modeling the engine's documented
+    * dedup semantics (SURVEY §2.3/§7.4): duplicate/near-duplicate docs
+    * form CLUSTERS (exact-text groups ∪ near-dup edges to their anchors,
+    * transitively) and only the MIN url of each cluster survives — so a
+    * planted copy can legitimately be the survivor and displace its
+    * clean anchor. All other planted drop-classes drop unconditionally.
+    */
+  private lazy val goldenDrop: Set[String] = {
+    val rows = pages.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val urlOfId = rows.map { case (u, _) => idOf(u) -> u }.toMap
+    val clsOf = rows.map { case (u, _) => u -> PagesGen.errorClass(idOf(u)) }.toMap
+
+    // union-find over dup clusters
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(u: String): String = {
+      val p = parent.getOrElse(u, u)
+      if (p == u) u else { val r = find(p); parent(u) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    // exact-text groups
+    rows.groupBy(_._2).values.filter(_.length > 1)
+      .foreach(g => g.map(_._1).reduceLeft { (a, b) => union(a, b); b })
+    // near-dup edges to anchors
+    rows.foreach { case (u, _) =>
+      if (clsOf(u) == "near_dup") {
+        val id = idOf(u)
+        val baseId = PagesGen.cleanBaseAtOrAbove(id - math.floorMod(id, 97L) + 2)
+        urlOfId.get(baseId).foreach(bu => union(u, bu))
+      }
+    }
+    val clusters = rows.map(_._1).groupBy(find).values.filter(_.length > 1)
+    val dedupDropped = clusters.flatMap(c => c.sorted.drop(1)).toSet
+
+    rows.collect { case (u, _)
+      if PagesGen.shouldDrop(clsOf(u)) &&
+        clsOf(u) != "near_dup" && clsOf(u) != "duplication" => u }.toSet ++
+      dedupDropped
+  }
+
+  test("keep/drop F1 >= 0.99 vs planted golden labels") {
+    val all = pages.select("url").collect().map(_.getString(0)).toSet
+    var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L
+    val fpU = scala.collection.mutable.ArrayBuffer[String]()
+    val fnU = scala.collection.mutable.ArrayBuffer[String]()
+    all.foreach { u =>
+      (goldenDrop.contains(u), dropped.contains(u)) match {
+        case (true, true) => tp += 1
+        case (false, true) => fp += 1; if (fpU.size < 10) fpU += u
+        case (true, false) => fn += 1; if (fnU.size < 10) fnU += u
+        case (false, false) => tn += 1
+      }
+    }
+    val precision = tp.toDouble / math.max(1, tp + fp)
+    val recall = tp.toDouble / math.max(1, tp + fn)
+    val f1 = 2 * precision * recall / math.max(1e-12, precision + recall)
+    info(f"drop-F1=$f1%.4f precision=$precision%.4f recall=$recall%.4f " +
+      s"(tp=$tp fp=$fp fn=$fn tn=$tn)")
+    if (fp > 0) info(s"sample false-drops: ${fpU.take(10).mkString(", ")}")
+    if (fn > 0) info(s"sample missed-drops: ${fnU.take(10).mkString(", ")}")
+    assert(f1 >= 0.99, f"F1 $f1%.4f below 0.99 (fp=$fp fn=$fn)")
+  }
+
+  test("kept ∪ dropped covers all pages; kept ∩ dropped = ∅") {
+    val all = pages.select("url").collect().map(_.getString(0)).toSet
+    assert((keptUrls intersect dropped).isEmpty)
+    assert((keptUrls union dropped) == all)
+  }
+
+  test("PII and toxic docs are kept but scrubbed (byte-identical to golden)") {
+    val piiRows = result.kept
+      .select("url", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (u, _) => PagesGen.errorClass(idOf(u)) == "pii" }
+    assert(piiRows.nonEmpty, "no pii docs survived — scrub path untested")
+    piiRows.foreach { case (url, scrubbed) =>
+      assert(!scrubbed.contains("@example.com"), url)
+      assert(scrubbed.contains("<EMAIL>"), url)
+      assert(scrubbed.contains("<SSN>"), url)
+      assert(scrubbed.contains("<IP>"), url)
+      // golden: plain-JVM regex chain over the original text
+      val orig = PagesGen.genRow(idOf(url)).text
+      val golden = graft.functions.Scrub.Patterns.foldLeft(orig) {
+        case (acc, (p, r)) => acc.replaceAll(p, r) }
+      assert(scrubbed == golden, s"scrub not byte-identical for $url")
+    }
+    val toxRows = result.kept.select("url", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (u, _) => PagesGen.errorClass(idOf(u)) == "toxic" }
+    assert(toxRows.nonEmpty)
+    toxRows.foreach { case (url, s) => assert(s.contains("<TOX>"), url) }
+  }
+
+  test("verdicts are deterministic under different input partitioning") {
+    val r2 = QualityPipeline.run(pages.repartition(7))
+    val d2 = r2.verdicts.select("url", "rule").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val d1 = result.verdicts.select("url", "rule").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d1 == d2, "verdicts differ under repartitioning")
+  }
+
+  test("metrics rollup includes per-rule counts and grand total") {
+    val m = result.metrics.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = m("__total__")
+    assert(total == m.filter(_._1 != "__total__").values.sum)
+    assert(m.contains("empty"))
+  }
+
+  test("fused scrub and chain scrub produce identical kept output") {
+    val a = QualityPipeline.run(pages, fusedScrub = false).kept
+      .select("url", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val b = QualityPipeline.run(pages, fusedScrub = true).kept
+      .select("url", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-shape assertions (SURVEY §5.2.4): the 100 TB contract is about
+  * what reaches the scan and where shuffles happen, not just row values.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning: unused columns never reach the parquet scan") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0)
+      .select("l_orderkey")
+    val scan = physical(df)
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]")
+      || scan.contains("GreaterThan(l_quantity"), s"no pushdown in: ${scan.take(800)}")
+  }
+
+  test("feature projection is shuffle-free (no Exchange)") {
+    val pages = graft.sources.PagesGen.generate(spark, 100, 2).toDF()
+    val feat = graft.pipeline.QualityPipeline.features(pages)
+    val plan = physical(feat)
+    assert(!plan.contains("Exchange"), s"feature stage shuffles: ${plan.take(800)}")
+  }
+
+  test("rare-combo rule broadcasts the tiny grouped side") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val g = d.groupBy("lang", "source").count().filter(col("count") < 3)
+    val joined = d.join(broadcast(g), Seq("lang", "source"))
+    assert(physical(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the scalar feature expressions") {
+    // NOTE: higher-order array functions (filter/transform/aggregate) are
+    // interpreted in Spark — only scalar expression chains codegen. The
+    // scan + scalar features must be inside a WholeStageCodegen span.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val f = d.select(graft.functions.TextFns.symbolRatio(col("text")),
+      graft.functions.TextFns.fingerprint(col("text")))
+    // codegen'd spans print as "*(n) Project ..." in the physical plan
+    assert(physical(f).contains("*(1)"), physical(f).take(500))
+  }
+}

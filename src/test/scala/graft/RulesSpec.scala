@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.ColumnProfile
+import graft.profile.Profiler
+import graft.rules.Rules
+
+class RulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profiler: uniqueness, null mean, sample stddev") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.0), Some("a")),
+      (Some(3.0), None), (None, Some("b"))
+    ).toDF("x", "s")
+    val p = Profiler.profile(df)
+    assert(p("x").nonNull == 3 && p("x").distinct == 3)
+    assert(p("x").uniqueness == 1.0)
+    assert(p("x").nullMean == 0.25)
+    assert(math.abs(p("x").stddev.get - 1.0) < 1e-12) // sample stddev of 1,2,3
+    assert(p("s").uniqueness == 2.0 / 3)
+  }
+
+  test("exactDup flags all-but-first by key asc, detail = first key") {
+    val df = Seq(("u1", 10L), ("u3", 10L), ("u2", 10L), ("u4", 20L)).toDF("url", "h")
+    val v = Rules.exactDup(df, col("url"), col("h")).collect()
+    assert(v.map(_.getAs[String]("url")).sorted.toSeq == Seq("u2", "u3"))
+    assert(v.forall(_.getAs[String]("detail") == "u1"))
+  }
+
+  test("zScoreExtreme: boundary-equal values flagged (reference quirk)") {
+    // values 0..10 mean 5, choose k s.t. hi lands exactly on a value
+    val df = (0 to 10).map(_.toDouble).toDF("x").withColumn("url", col("x").cast("string"))
+    val m = graft.profile.Stats.Moments(11, 5.0, 1.0)
+    // k=5 → lo=0, hi=10: values 0 and 10 sit ON the boundary → flagged
+    val v = Rules.zScoreExtreme(df, col("url"), col("x"), "x", 0.5, m, 5.0).get.collect()
+    assert(v.map(_.getAs[String]("url")).sorted.toSeq == Seq("0.0", "10.0"))
+  }
+
+  test("zScoreExtreme: uniqueness gate skips rule outside (0.0001, 0.99)") {
+    val df = Seq(1.0).toDF("x").withColumn("url", lit("u"))
+    val m = graft.profile.Stats.Moments(2, 0.0, 1.0)
+    assert(Rules.zScoreExtreme(df, col("url"), col("x"), "x", 1.0, m).isEmpty)
+    assert(Rules.zScoreExtreme(df, col("url"), col("x"), "x", 0.99, m).isEmpty)
+  }
+
+  test("Stats.moments: exact and order-independent") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 100.5)
+    val a = graft.profile.Stats.moments(xs.toDF("x"), col("x"))
+    val b = graft.profile.Stats.moments(
+      xs.reverse.toDF("x").repartition(5), col("x"))
+    assert(a == b)
+    assert(a.n == 5 && math.abs(a.mean - 22.1) < 1e-9)
+  }
+
+  test("groupZScore flags within-class outliers only") {
+    val rows = (1 to 20).map(i => ("a", 10.0 + (i % 3))) ++ Seq(("a", 1000.0)) ++
+      (1 to 20).map(i => ("b", 500.0 + (i % 5)))
+    val df = rows.zipWithIndex.map { case ((c, x), i) => (s"u$i", c, x) }
+      .toDF("url", "cls", "x")
+    val v = Rules.groupZScore(df, col("url"), col("cls"), col("x"), "x", 3.0).collect()
+    assert(v.length == 1)
+    assert(v.head.getAs[String]("detail").startsWith("a=1000"))
+  }
+
+  test("rareCombo flags member rows of groups under minCount") {
+    val df = (1 to 20).map(i => (s"u$i", "en", "com")) ++ Seq(("ux", "xx", "com"))
+    val v = Rules.rareCombo(df.toDF("url", "c1", "c2"),
+      col("url"), col("c1"), col("c2"), "c1", "c2", 3).collect()
+    assert(v.map(_.getAs[String]("url")).toSeq == Seq("ux"))
+  }
+
+  test("tendency arms only above threshold and exempts ties") {
+    val df = ((1 to 1999).map(i => (s"u$i", 1.0, 2.0)) ++ Seq(("uv", 5.0, 3.0)))
+      .toDF("url", "a", "b")
+    val v = Rules.tendency(df, col("url"), col("a"), col("b"), "a", "b").get.collect()
+    assert(v.map(_.getAs[String]("url")).toSeq == Seq("uv"))
+    // 50/50 split → not armed
+    val df2 = Seq(("u1", 1.0, 2.0), ("u2", 2.0, 1.0)).toDF("url", "a", "b")
+    assert(Rules.tendency(df2, col("url"), col("a"), col("b"), "a", "b").isEmpty)
+  }
+
+  test("completeness: intersection of both null-fraction thresholds") {
+    val df = Seq(
+      ("full", Some("a"), Some("b"), Some("c"), Some("d")),
+      ("sparse", Some("a"), None, None, None)
+    ).toDF("url", "c1", "c2", "c3", "c4")
+    val profs = Profiler.profile(df.drop("url"))
+    val v = Rules.completeness(df, col("url"), profs,
+      Seq("c1", "c2", "c3", "c4"), 0.7, 0.5).collect()
+    assert(v.map(_.getAs[String]("url")).toSeq == Seq("sparse"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed agg equals its batch twin on the events table") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    // file stream sources consume directories
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.windowedCountsStream(spark, streamDir.toString,
+      batchEvents, "stream_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT window.start AS window_start, event_type, n, round(sum_value, 4) AS sum_value
+        |FROM stream_out""".stripMargin)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventStream.windowedCountsBatch(
+        batchEvents.withColumn("ts", col("ts").cast("timestamp")))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+}

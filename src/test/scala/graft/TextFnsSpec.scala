@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFns}
+
+class TextFnsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, s: String): T =
+    Seq(s).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, s: String): List[String] =
+    Seq(s).toDF("t").select(c.as("r")).head().getSeq[String](0).toList
+
+  test("tokens drops empties, trims, splits on whitespace runs") {
+    assert(oneSeq(TextFns.tokens(col("t")), "  a  b\t c \n") == List("a", "b", "c"))
+    assert(oneSeq(TextFns.tokens(col("t")), "") == Nil)
+  }
+
+  test("wordCount/symbolRatio/meanWordLen on hand-computed strings") {
+    assert(one[Int](TextFns.wordCount(col("t")), "one two three") == 3)
+    // "ab!@#" → 3 symbols / 5 chars
+    assert(one[Double](TextFns.symbolRatio(col("t")), "ab!@#") == 0.6)
+    assert(one[Double](TextFns.meanWordLen(col("t")), "ab abcd") == 3.0)
+  }
+
+  test("stopwordRatio counts case-insensitive stopword hits") {
+    // "The cat of doom" → the, of = 2/4
+    assert(one[Double](TextFns.stopwordRatio(col("t")), "The cat of doom") == 0.5)
+  }
+
+  test("normText collapses whitespace and lowercases") {
+    assert(one[String](TextFns.normText(col("t")), "  A  B\n\tC ") == "a b c")
+  }
+
+  test("charShingles: k-grams; short string yields empty") {
+    assert(oneSeq(TextFns.charShingles(col("t"), 3), "abcd") == List("abc", "bcd"))
+    assert(oneSeq(TextFns.charShingles(col("t"), 3), "ab") == Nil)
+  }
+
+  test("md5Long is deterministic and matches the documented formula") {
+    // md5("abc") = 900150983cd24fb0... → 0x900150983cd24fb = 648541476951500027
+    assert(one[Long](TextFns.md5Long(col("t")), "abc") == 648541476951500027L)
+  }
+
+  test("bpeish token count: alpha runs, digit runs, single symbols") {
+    assert(one[Int](TextFns.bpeishTokenCount(col("t")), "ab12 cd!") == 4)
+  }
+
+  test("minhash signature: stable, bounded, sensitive to content") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat").toDF("t")
+    val sigs = df.select(Hashing.minHashSig(
+      TextFns.charShingles(TextFns.normText(col("t")), 4), 8).as("s"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(sigs(0).size == 8)
+    assert(sigs(0).forall(h => h >= 0 && h < Hashing.P))
+    assert(sigs(0) != sigs(1))                  // different docs differ
+    assert(sigs(0).zip(sigs(1)).count { case (a, b) => a == b } >= 4) // but mostly agree
+  }
+
+  test("simHash: near docs within small hamming distance, empty → 0") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog entirely today"),
+      ("b", "the quick brown fox jumps over the lazy cat entirely today"),
+      ("c", "")).toDF("id", "t")
+    val hs = df.select(col("id"), Hashing.simHash(
+        array_distinct(TextFns.tokens(col("t"))), 16).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hs("c") == 0L)
+    val d = java.lang.Long.bitCount(hs("a") ^ hs("b"))
+    assert(d <= 6, s"hamming distance $d too large for near-identical docs")
+  }
+}
