@@ -208,7 +208,10 @@ object Queries {
   val dqMinHash: (SparkSession, String) => DataFrame = (s, dir) => {
     val d = docs(s, dir)
     val norm = TextFns.normText(col("text"))
-    val sig = Hashing.minHashSig(TextFns.charShingles(norm, 4), 4)
+    // fused expression, byte-identical to the md5 SQL-oracle formula
+    // (the composed Column version is Hashing.minHashSig — kept as the
+    // semantic reference, cross-validated in TextFnsSpec)
+    val sig = graft.functions.Md5MinHash.md5MinHash(norm, 4, 4)
     d.select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
@@ -229,12 +232,13 @@ object Queries {
   }
 
   /** SimHash (16-bit) over distinct lowercase tokens. */
-  val dqSimHash: (SparkSession, String) => DataFrame = (s, dir) => {
-    val d = docs(s, dir)
-    val toks = array_distinct(transform(TextFns.tokens(col("text")), t => lower(t)))
-    d.select(col("doc_id"), Hashing.simHash(toks, 16).as("simhash"))
+  val dqSimHash: (SparkSession, String) => DataFrame = (s, dir) =>
+    // fused expression; composed reference = Hashing.simHash over
+    // array_distinct(lower(tokens)) — equality asserted in TextFnsSpec
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.Md5SimHash.md5SimHash(col("text"), 16).as("simhash"))
       .orderBy("doc_id")
-  }
 
   val dqSimHashSql: String = {
     val bits = (0 until 16).map { b =>

@@ -149,9 +149,11 @@ object QualityPipeline {
     // detonates it at web scale; the hub star gives O(|bucket|) pairs and
     // — since the survivor of a near-dup cluster is its min url anyway —
     // the same keep/drop decisions for clusters that share buckets.
-    val hubW = Window.partitionBy(col("band"), col("key"))
-    val pairs = bands
-      .withColumn("hub", min(col("url")).over(hubW))
+    val hubs = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("url")).as("hub"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1) // singleton buckets can't pair
+      .drop("__cnt")
+    val pairs = bands.join(hubs, Seq("band", "key"))
       .filter(col("url") =!= col("hub"))
       .select(col("hub").as("url1"), col("url").as("url2"))
       .dropDuplicates("url1", "url2")

@@ -36,12 +36,15 @@ object Rules {
     * never the document body.
     */
   def exactDup(df: DataFrame, key: Column, contentHash: Column): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(col("url"))
     val hashed = df.select(key.as("url"), contentHash.as("__h"))
-    val flagged = hashed
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__first", first(col("url")).over(w))
-      .filter(col("__rn") > 1)
+    // groupBy + join-back instead of a window: the aggregation combines
+    // map-side (shuffle carries (hash, min, count) per distinct hash, not
+    // every row) and avoids the window's full sort
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col("url")).as("__first"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+    val flagged = hashed.join(groups, Seq("__h"))
+      .filter(col("url") =!= col("__first"))
     verdict(flagged, col("url"), "duplication",
       lit(1.0), col("__first"))
   }

@@ -61,6 +61,30 @@ class TextFnsSpec extends AnyFunSuite {
     assert(sigs(0).zip(sigs(1)).count { case (a, b) => a == b } >= 4) // but mostly agree
   }
 
+  test("Md5MinHashExpr equals the composed md5 minhash column exactly") {
+    val texts = Seq("the quick brown fox", "abcd", "ab", "",
+      "many words of text for a larger shingle set here today")
+    val df = texts.toDF("t")
+    val composed = df.select(Hashing.minHashSig(
+        TextFns.charShingles(col("t"), 4), 4).as("s"))
+      .collect().map(_.getSeq[Any](0).toList)
+    val fused = df.select(graft.functions.Md5MinHash.md5MinHash(col("t"), 4, 4).as("s"))
+      .collect().map(_.getSeq[Any](0).toList)
+    assert(composed.toSeq == fused.toSeq)
+  }
+
+  test("Md5SimHashExpr equals the composed md5 simhash column exactly") {
+    val texts = Seq("the quick brown Fox fox THE", "", "  ", "one",
+      "a b c d e f g h repeated repeated words here")
+    val df = texts.toDF("t")
+    val composed = df.select(Hashing.simHash(
+        array_distinct(transform(TextFns.tokens(col("t")), t => lower(t))), 16).as("h"))
+      .collect().map(_.getLong(0))
+    val fused = df.select(graft.functions.Md5SimHash.md5SimHash(col("t"), 16).as("h"))
+      .collect().map(_.getLong(0))
+    assert(composed.toSeq == fused.toSeq)
+  }
+
   test("simHash: near docs within small hamming distance, empty → 0") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog entirely today"),
