@@ -639,6 +639,138 @@ object Queries {
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   // ======================================================================
+  // Coverage: fractional year (P3), shared-encoding correlation (G3),
+  // value-uniqueness sanity (D4), embedding-cosine dedup, frame sampling
+  // ======================================================================
+
+  /** Reference `_year` fractional-year view (utils.py:411-412). */
+  val qYearFraction: (SparkSession, String) => DataFrame = (s, dir) =>
+    tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(graft.functions.DateFns.yearFraction(col("o_orderdate")), 6)
+          .as("order_year_frac"))
+      .orderBy("o_orderkey")
+
+  val qYearFractionSql: String =
+    """SELECT o_orderkey,
+      | round(year(o_orderdate)::DOUBLE + month(o_orderdate)::DOUBLE / 12.0
+      |   + day(o_orderdate)::DOUBLE / 365.0, 6) AS order_year_frac
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** G3 semantics: one shared label encoding over the union of values,
+    * Pearson correlation of the encoded columns.
+    */
+  val dqCorr: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val codes = d.select(col("lang").as("v"))
+      .unionByName(d.select(col("source").as("v")))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("code", row_number().over(
+        Window.orderBy(col("v"))).cast(DoubleType))
+    val enc = d
+      .join(codes.withColumnRenamed("v", "lang")
+        .withColumnRenamed("code", "lang_code"), Seq("lang"))
+      .join(codes.withColumnRenamed("v", "source")
+        .withColumnRenamed("code", "source_code"), Seq("source"))
+    enc.agg(round(corr(col("lang_code"), col("source_code")), 6)
+      .as("corr_lang_source"))
+  }
+
+  val dqCorrSql: String =
+    """WITH codes AS (
+      |  SELECT v, row_number() OVER (ORDER BY v) AS code FROM (
+      |    SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL
+      |    UNION
+      |    SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL
+      |  )
+      |)
+      |SELECT round(corr(cl.code::DOUBLE, cs.code::DOUBLE), 6) AS corr_lang_source
+      |FROM documents d
+      |JOIN codes cl ON d.lang = cl.v
+      |JOIN codes cs ON d.source = cs.v""".stripMargin
+
+  /** D4 semantics (`utils.py:371-383`): in a ≈all-repeated column, unique
+    * values are suspect. A rare-source row is planted so the rule fires.
+    */
+  val dqValueUniqueness: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "source")
+    val aug = d.unionByName(
+      s.range(1).select(lit(999999L).as("doc_id"), lit("src_planted_rare").as("source")))
+    val u = aug.agg((countDistinct(col("source")).cast(DoubleType) /
+      count(col("source"))).as("r"))
+    val cnts = aug.groupBy("source").agg(count(lit(1)).as("c"))
+    aug.join(broadcast(cnts), Seq("source")).crossJoin(broadcast(u))
+      .filter(col("r") < 0.05 && col("c") === 1)
+      .select(col("doc_id"), col("source"), col("c").as("value_count"))
+      .orderBy("doc_id")
+  }
+
+  val dqValueUniquenessSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, source FROM documents
+      |  UNION ALL SELECT 999999 AS doc_id, 'src_planted_rare' AS source
+      |), u AS (SELECT count(DISTINCT source)::DOUBLE / count(source) AS r FROM aug),
+      |cnts AS (SELECT source, count(*) AS c FROM aug GROUP BY source)
+      |SELECT a.doc_id, a.source, c.c AS value_count
+      |FROM aug a JOIN cnts c USING (source), u
+      |WHERE u.r < 0.05 AND c.c = 1
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** Embedding-cosine near-dup: exact duplicates planted (every 50th
+    * vector copied under a new id), pairs with cos ≥ 0.99 flag the larger
+    * id. Brute force over a subset — the scale path is emb_ann_lsh.
+    */
+  val embCosineDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = tbl(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val aug = e.unionByName(e.filter(col("id") % 50 === 0)
+      .select((col("id") + 1000000L).as("id"), col("vec")))
+    val a = aug.select(col("id").as("id1"), col("vec").as("v1"))
+    val b = aug.select(col("id").as("id2"), col("vec").as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(Ann.cosine(col("v1"), col("v2")), 4))
+      .filter(col("cos") >= 0.99)
+      .select(col("id2").as("dup_id"), col("id1").as("first_id"), col("cos"))
+      .orderBy("dup_id")
+  }
+
+  val embCosineDedupSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 5 = 0
+      |), aug AS (
+      |  SELECT id, vec FROM base
+      |  UNION ALL SELECT id + 1000000 AS id, vec FROM base WHERE id % 50 = 0
+      |)
+      |SELECT b.id AS dup_id, a.id AS first_id,
+      | round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) AS cos
+      |FROM aug a JOIN aug b ON a.id < b.id
+      |WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.99
+      |ORDER BY dup_id""".stripMargin
+
+  /** Multimodal frame-sampling plumbing (stub decode — no oracle; the
+    * frame hash is engine-internal FNV).
+    */
+  val mmFrameSample: (SparkSession, String) => DataFrame = (s, dir) => {
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.multimodal.Multimodal.sampleFrames(withPayload, 2).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmMediaMeta: (SparkSession, String) => DataFrame = (s, dir) => {
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.multimodal.Multimodal.extractMeta(withPayload).toDF()
+      .select("doc_id", "n_bytes", "magic_hex") // stub dims excluded from oracle
+      .orderBy("doc_id")
+  }
+
+  val mmMediaMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      | upper(substr(hex(encode(text)), 1, 8)) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -664,9 +796,15 @@ object Queries {
     "dq_scrub" -> dqScrub,
     "emb_knn" -> embKnn,
     "emb_ann_lsh" -> embAnnLsh,
+    "emb_cosine_dedup" -> embCosineDedup,
     "mm_binary_meta" -> mmBinaryMeta,
+    "mm_media_meta" -> mmMediaMeta,
+    "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
-    "ev_lag_gaps" -> evLagGaps
+    "ev_lag_gaps" -> evLagGaps,
+    "q_year_fraction" -> qYearFraction,
+    "dq_corr" -> dqCorr,
+    "dq_value_uniqueness" -> dqValueUniqueness
   )
 
   val oracles: Map[String, String] = Map(
@@ -690,9 +828,15 @@ object Queries {
     "dq_fingerprint" -> dqFingerprintSql,
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
-    // emb_ann_lsh: intentionally no oracle (approximate; rows-only check)
+    // emb_ann_lsh, mm_frame_sample: intentionally no oracle
+    // (approximate / engine-internal hashes; rows-only check)
+    "emb_cosine_dedup" -> embCosineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_media_meta" -> mmMediaMetaSql,
     "ev_window_agg" -> evWindowAggSql,
-    "ev_lag_gaps" -> evLagGapsSql
+    "ev_lag_gaps" -> evLagGapsSql,
+    "q_year_fraction" -> qYearFractionSql,
+    "dq_corr" -> dqCorrSql,
+    "dq_value_uniqueness" -> dqValueUniquenessSql
   )
 }

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata.
+  *
+  * The container ships no image/audio codecs (FIXTURES.md / task spec),
+  * so the DECODE KERNELS are deterministic stubs — clearly marked, one
+  * swap point each — while everything Spark-side is real and tested: the
+  * binary column flows, the typed output schema, the per-partition
+  * batched iteration (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batch shape), and the partitioning story (payloads stay
+  * columnar; metadata is tiny and join-able by key).
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, magic_hex: String,
+      width: Int, height: Int, format: String)
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** STUB decode — deterministic fake dims/format from the payload bytes.
+    * Real deployment: replace body with an actual codec (e.g. TwelveMonkeys
+    * ImageIO) — the signature and everything downstream is unchanged.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+    val w = 160 + math.floorMod(h, 8L).toInt * 80
+    val ht = 120 + math.floorMod(h >>> 8, 8L).toInt * 60
+    val formats = Array("png", "jpeg", "webp")
+    val fmt = formats(math.floorMod(h >>> 16, 3L).toInt)
+    (w, ht, fmt)
+  }
+
+  /** Typed metadata extraction over (doc_id, payload) — batched
+    * per-partition loop, zero shuffle.
+    */
+  def extractMeta(df: DataFrame): Dataset[MediaMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, fmt) = decodeStub(bytes)
+          val magic = bytes.take(4).map(b => f"$b%02X").mkString
+          MediaMeta(id, bytes.length.toLong, magic, w, h, fmt)
+        }
+      }
+  }
+
+  /** STUB frame sampling: every `stride`-th 256-byte window hashed —
+    * stands in for video frame extraction; the explode/partitioning
+    * plumbing is the real part.
+    */
+  def sampleFrames(df: DataFrame, stride: Int): Dataset[FrameSample] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / 256)
+        (0 until nFrames by stride).map { f =>
+          var h = 0xcbf29ce484222325L
+          var i = f * 256
+          val end = math.min(bytes.length, i + 256)
+          while (i < end) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+          FrameSample(id, f, h)
+        }
+      }
+  }
+}

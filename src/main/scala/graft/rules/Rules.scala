@@ -131,6 +131,57 @@ object Rules {
     }
   }
 
+  /** Value-uniqueness sanity (`utils.py:371-383`, D4): in a ≈all-unique
+    * column (uniqueness > hi) duplicated values are suspect; in a
+    * ≈all-repeated column (uniqueness < lo) unique values are. groupBy on
+    * the value + semi-join back — same shuffle shape as rareCombo.
+    */
+  def nonUniqueValues(df: DataFrame, key: Column, c: Column, name: String,
+                      uniqueness: Double, hi: Double = 0.99,
+                      lo: Double = 0.001): Option[DataFrame] = {
+    val vals = df.select(key.as("url"), c.as("__v")).filter(col("__v").isNotNull)
+    val counts = vals.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    if (uniqueness > hi) {
+      val flagged = vals.join(counts.filter(col("__cnt") > 1), Seq("__v"))
+      Some(verdict(flagged, col("url"), s"dup_value_$name",
+        col("__cnt"), col("__v")))
+    } else if (uniqueness < lo) {
+      val flagged = vals.join(counts.filter(col("__cnt") === 1), Seq("__v"))
+      Some(verdict(flagged, col("url"), s"unique_value_$name",
+        col("__cnt"), col("__v")))
+    } else None
+  }
+
+  /** String-column correlation discovery (`improve_data_quality.py:638-672`,
+    * G3): label-encode the gated low-uniqueness string columns with ONE
+    * SHARED encoding (the reference fits a single LabelEncoder over the
+    * union of values), Pearson-correlate every pair, keep |corr| ≥ thresh.
+    * The encoding table is tiny by the gate's construction → broadcast;
+    * all pairwise correlations come from ONE aggregate pass.
+    */
+  def corrStr(df: DataFrame, cols: Seq[String],
+              thresh: Double = 0.5): Map[String, Seq[String]] = {
+    if (cols.size < 2) return cols.map(_ -> Seq.empty[String]).toMap
+    // shared encoding: sorted distinct union of all values → 1..K
+    val values = cols.map(c => df.select(col(c).cast("string").as("v")))
+      .reduce(_ unionByName _).filter(col("v").isNotNull)
+      .distinct().orderBy("v")
+    val codeMap = values.collect().map(_.getString(0)).zipWithIndex
+      .map { case (v, i) => v -> (i + 1) }.toMap
+    val enc = typedlit(codeMap)
+    val encoded = df.select(cols.map(c =>
+      element_at(enc, col(c).cast("string")).cast("double").as(c)): _*)
+    val pairs = cols.combinations(2).toSeq
+    val aggs = pairs.map { case Seq(a, b) => corr(col(a), col(b)).as(s"$a|$b") }
+    val row = encoded.agg(aggs.head, aggs.tail: _*).head()
+    val related = pairs.flatMap { case Seq(a, b) =>
+      Option(row.getAs[Any](s"$a|$b")).map(_.asInstanceOf[Double]).toSeq
+        .filter(c => math.abs(c) >= thresh)
+        .flatMap(_ => Seq(a -> b, b -> a))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    cols.map(c => c -> related.getOrElse(c, Seq.empty)).toMap
+  }
+
   /** Row-completeness (`utils.py:344-368`, A3): flag rows whose null
     * fraction across all columns ≥ t1 AND whose null fraction across
     * "mostly-present" columns (column null-mean < 0.8, from the broadcast
