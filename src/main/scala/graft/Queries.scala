@@ -262,16 +262,11 @@ object Queries {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "changed").as("text"))
     val aug = d.unionByName(mut)
-    // stage the token array as a column BEFORE the shingle lambda — an
-    // inline subtree would re-tokenise per shingle (see QualityPipeline
-    // .features scaladoc)
-    val toks = col("__toks")
+    // fused distinct-shingle-hash expression: the shingle is only a JOIN
+    // key, so FNV hashes replace the composed string-building pipeline
+    // (same pair/jaccard output; DuckDB oracle keeps the string form)
     val sets = aug
-      .withColumn("__toks", TextFns.tokens(TextFns.normText(col("text"))))
-      .withColumn("sh", array_distinct(when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - lit(3)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-        .otherwise(toks)))
+      .withColumn("sh", graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
       .withColumn("n", size(col("sh")))
       .select("doc_id", "sh", "n")
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
