@@ -25,6 +25,7 @@ object Bench {
       val res = graft.pipeline.QualityPipeline.run(pages)
       res.kept.write.mode("overwrite").format("noop").save()
       res.verdicts.write.mode("overwrite").format("noop").save()
+      res.unpersist() // warmup + repeat runs must not accumulate caches
     }
     pages.unpersist()
     (n / sec, sec)

@@ -144,16 +144,33 @@ object Queries {
   val dqProfile: (SparkSession, String) => DataFrame = (s, dir) => {
     val d = docs(s, dir)
     val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
-    val parts = cols.map { c =>
-      d.agg(
-        lit(c).as("column_name"),
-        count(col(c)).as("non_null"),
-        countDistinct(col(c)).as("distinct_cnt"),
-        round(countDistinct(col(c)).cast(DoubleType) /
-          nullif(count(col(c)), lit(0)), 6).as("uniqueness"),
-        round(avg(isnull(col(c)).cast(DoubleType)), 6).as("null_mean"))
+    // ONE scan: every per-column statistic in a single multi-aggregate
+    // (the per-column agg+union version scanned the table once per
+    // column); the per-column row shape is restacked driver-side from the
+    // one collected row. Rounding happens IN the aggregate so the values
+    // are Spark-rounded exactly like every other oracle-checked query.
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__d"),
+      round(countDistinct(col(c)).cast(DoubleType) /
+        nullif(count(col(c)), lit(0)), 6).as(s"${c}__u"),
+      round(avg(isnull(col(c)).cast(DoubleType)), 6).as(s"${c}__nm"))
     }
-    parts.reduce(_ unionByName _).orderBy("column_name")
+    val row = d.agg(aggs.head, aggs.tail: _*).head()
+    val out = cols.map { c => org.apache.spark.sql.Row(
+      c, row.getAs[Long](s"${c}__nn"), row.getAs[Long](s"${c}__d"),
+      row.getAs[java.lang.Double](s"${c}__u"),
+      row.getAs[java.lang.Double](s"${c}__nm"))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("non_null", LongType, nullable = false),
+      StructField("distinct_cnt", LongType, nullable = false),
+      StructField("uniqueness", DoubleType, nullable = true),
+      StructField("null_mean", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(out.asJava, schema).orderBy("column_name")
   }
 
   val dqProfileSql: String = {
@@ -180,11 +197,21 @@ object Queries {
     val aug = d.unionByName(
       d.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-    aug.withColumn("__h", TextFns.fingerprint(col("text")))
-      .withColumn("first_id", min(col("doc_id")).over(w))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("cnt") > 1 && col("doc_id") =!= col("first_id"))
+    // Same plan as the pipeline kernel (rules/Rules.exactDup): groupBy
+    // min+count with map-side combine + join-back — no full per-partition
+    // window sort, and the shuffle carries (hash, min, count) per DISTINCT
+    // hash, not every row. Group key = md5 of the RAW text (60-bit prefix;
+    // collision odds ~n²/2⁶¹), matching the oracle's raw-`text` GROUP BY —
+    // the normalised fingerprint would flag case/whitespace variants the
+    // oracle doesn't. Null-safe join: pandas/DuckDB group NaN/NULL texts
+    // together (NaN==NaN in `duplicated()`), so null hashes must too.
+    val hashed = aug.withColumn("__h", TextFns.md5Long(col("text")))
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .withColumnRenamed("__h", "__hg")
+    hashed.join(groups, col("__h") <=> col("__hg"))
+      .filter(col("doc_id") =!= col("first_id"))
       .select(col("doc_id"), lit("duplication").as("rule"), col("first_id"))
       .orderBy("doc_id")
   }
@@ -253,8 +280,18 @@ object Queries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Shingles with document frequency above this carry no near-dup signal
+    * (web boilerplate) and are exactly the O(df²) hot keys that detonate a
+    * shingle self-join at scale — they are dropped from the Jaccard
+    * universe on BOTH the Spark and the oracle side (the cap is part of
+    * the query's semantics). NgramJaccardSpec proves the bound on a
+    * planted 1k-copy boilerplate corpus.
+    */
+  val MaxShingleDf = 64
+
   /** N-gram (3-word shingle) Jaccard near-dup pairs over an augmented
     * corpus (every 100th doc gets a mutated copy — first word changed).
+    * Jaccard is computed over the df ≤ [[MaxShingleDf]] shingle universe.
     */
   val dqNgramJaccard: (SparkSession, String) => DataFrame = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text")
@@ -265,17 +302,24 @@ object Queries {
     // fused distinct-shingle-hash expression: the shingle is only a JOIN
     // key, so FNV hashes replace the composed string-building pipeline
     // (same pair/jaccard output; DuckDB oracle keeps the string form)
-    val sets = aug
+    val ex0 = aug
       .withColumn("sh", graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
-      .withColumn("n", size(col("sh")))
-      .select("doc_id", "sh", "n")
-    val ex = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+    // df cap: drop hot shingles BEFORE the self-join; per-doc sizes are
+    // recomputed over the capped universe so the Jaccard denominator and
+    // the shared count agree
+    val allowed = ex0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("tok")
+    val ex = ex0.join(allowed, Seq("tok"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared"))
-    pairs.withColumn("jaccard", round(col("shared").cast(DoubleType) /
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard", round(col("shared").cast(DoubleType) /
         (col("n1") + col("n2") - col("shared")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id1", "id2", "jaccard")
@@ -297,15 +341,22 @@ object Queries {
        |         i -> concat_ws(' ', toks[CAST(i+1 AS INT)], toks[CAST(i+2 AS INT)], toks[CAST(i+3 AS INT)]))
        |    ELSE toks END) AS sh
        |  FROM t
-       |), sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh),
-       |ex AS (SELECT doc_id, n, unnest(sh) AS tok FROM sized),
+       |), ex0 AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+       |allowed AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS df FROM ex0 GROUP BY tok)
+       |  WHERE df <= $MaxShingleDf
+       |),
+       |ex AS (SELECT doc_id, tok FROM ex0 JOIN allowed USING (tok)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
        |pairs AS (
-       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS shared
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
        |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4
+       |  GROUP BY 1, 2
        |)
-       |SELECT id1, id2, round(shared::DOUBLE / (n1 + n2 - shared), 6) AS jaccard
-       |FROM pairs WHERE round(shared::DOUBLE / (n1 + n2 - shared), 6) >= 0.5
+       |SELECT id1, id2,
+       | round(shared::DOUBLE / (s1.n + s2.n - shared), 6) AS jaccard
+       |FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE round(shared::DOUBLE / (s1.n + s2.n - shared), 6) >= 0.5
        |ORDER BY id1, id2""".stripMargin
   }
 
@@ -576,7 +627,11 @@ object Queries {
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = 6, tables = 12)
+    // nBits sized from the corpus (one cheap count) so the same query is
+    // bucket-bounded at ANY sf; multi-probe recovers Hamming-1 near-misses
+    val nBits = Ann.autoNBits(corpus.count(), targetBucket = 64)
+    Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = nBits, tables = 12,
+        multiProbe = true)
       .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"), col("rank"))
       .orderBy("qid", "rank")
   }
@@ -657,18 +712,24 @@ object Queries {
     */
   val dqCorr: (SparkSession, String) => DataFrame = (s, dir) => {
     val d = docs(s, dir)
-    val codes = d.select(col("lang").as("v"))
+    // shared label encoding COLLECTED driver-side and broadcast as a map
+    // literal — the cardinality is tiny by the G3 low-uniqueness gate, and
+    // the previous `row_number().over(Window.orderBy(v))` funneled the
+    // distinct set through ONE partition (the classic global-window
+    // scale-wrong shape). Codes = 1-based rank in sorted order, identical
+    // to the window's row_number.
+    val values = d.select(col("lang").as("v"))
       .unionByName(d.select(col("source").as("v")))
       .filter(col("v").isNotNull).distinct()
-      .withColumn("code", row_number().over(
-        Window.orderBy(col("v"))).cast(DoubleType))
-    val enc = d
-      .join(codes.withColumnRenamed("v", "lang")
-        .withColumnRenamed("code", "lang_code"), Seq("lang"))
-      .join(codes.withColumnRenamed("v", "source")
-        .withColumnRenamed("code", "source_code"), Seq("source"))
-    enc.agg(round(corr(col("lang_code"), col("source_code")), 6)
-      .as("corr_lang_source"))
+      .orderBy("v").collect().map(_.getString(0))
+    val codeMap = values.zipWithIndex.map { case (v, i) => v -> (i + 1).toDouble }.toMap
+    val enc = typedlit(codeMap)
+    d.select(element_at(enc, col("lang")).as("lang_code"),
+        element_at(enc, col("source")).as("source_code"))
+      // inner-join semantics of the encoded original: null keys drop out
+      .filter(col("lang_code").isNotNull && col("source_code").isNotNull)
+      .agg(round(corr(col("lang_code"), col("source_code")), 6)
+        .as("corr_lang_source"))
   }
 
   val dqCorrSql: String =
@@ -713,16 +774,30 @@ object Queries {
 
   /** Embedding-cosine near-dup: exact duplicates planted (every 50th
     * vector copied under a new id), pairs with cos ≥ 0.99 flag the larger
-    * id. Brute force over a subset — the scale path is emb_ann_lsh.
+    * id. Candidates come from SRP-LSH bucket co-membership — an equi-join
+    * on (table, bucket), NEVER a cartesian product (PlanSpec asserts it):
+    * identical vectors share every bucket in every table; a cos ≥ 0.99
+    * pair agrees with a random hyperplane w.p. 1 − arccos(0.99)/π ≈ 0.955,
+    * so it shares a given 8-bit table bucket w.p. 0.955⁸ ≈ 0.69 and misses
+    * all 12 tables w.p. (1−0.69)¹² < 1e-6. The candidate join carries ids
+    * only; vectors are joined back for the exact-cosine verify.
     */
   val embCosineDedup: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = tbl(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val aug = e.unionByName(e.filter(col("id") % 50 === 0)
       .select((col("id") + 1000000L).as("id"), col("vec")))
-    val a = aug.select(col("id").as("id1"), col("vec").as("v1"))
-    val b = aug.select(col("id").as("id2"), col("vec").as("v2"))
-    a.crossJoin(b).filter(col("id1") < col("id2"))
+    val sigs = aug.select(col("id"),
+        explode(Ann.srpSignatures(col("vec"), 64, 8, 12)).as("tb"))
+      .select(col("id"), col("tb.table").as("t"), col("tb.bucket").as("bkt"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(aug.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
+      .join(aug.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
       .withColumn("cos", round(Ann.cosine(col("v1"), col("v2")), 4))
       .filter(col("cos") >= 0.99)
       .select(col("id2").as("dup_id"), col("id1").as("first_id"), col("cos"))

@@ -73,23 +73,51 @@ object Ann {
     }: _*)
   }
 
+  /** Signature width sized to the corpus: buckets/table = 2^nBits, so
+    * expected occupancy = n / 2^nBits. A FIXED nBits is a fixture-sized
+    * default that stops pruning as n grows (at n=10⁹ with nBits=6 every
+    * query scans n/64 candidates/table); sizing nBits = ⌈log₂(n/target)⌉
+    * keeps per-bucket work O(target) at any n — 5 bits at the 2k test
+    * corpus, 24 bits at 10⁹ vectors with target 64.
+    */
+  def autoNBits(corpusSize: Long, targetBucket: Long = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(62, math.max(4, raw))
+  }
+
   /** Multi-table bucketed ANN: a corpus vector is a candidate for a query
     * iff they share a bucket in ANY of the `tables` hash tables (standard
     * LSH union amplification); exact cosine rank over the deduped
     * candidate set. Candidates are found by an equi-join on
     * (table, bucket) — at 10⁹+ vectors this is a hash-partitioned join on
     * uniform keys, never a full scan per query.
+    *
+    * `multiProbe=true` additionally probes, per table, every bucket at
+    * Hamming distance 1 from the QUERY's signature (nBits extra probes on
+    * the small query side only — the corpus keeps one bucket per table),
+    * recovering the near-misses where exactly one hyperplane separates
+    * query and neighbor. This buys the recall of ~nBits extra tables for
+    * one table's worth of corpus-side storage/shuffle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 6, tables: Int = 12,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true,
+              multiProbe: Boolean = false): DataFrame = {
     def withBuckets(df: DataFrame, vecCol: String) =
       df.withColumn("tb", explode(srpSignatures(col(vecCol), dim, nBits, tables)))
         .withColumn("table", col("tb.table"))
         .withColumn("bucket", col("tb.bucket"))
         .drop("tb")
     val cb = withBuckets(corpus, "vec")
-    val qb = withBuckets(queries, "qvec")
+    val qb0 = withBuckets(queries, "qvec")
+    val qb =
+      if (!multiProbe) qb0
+      else qb0
+        .withColumn("__flip", explode(array((lit(0L) +:
+          (0 until nBits).map(b => lit(1L << b))): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+        .drop("__flip")
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select("qid", "qvec", "id", "vec")

@@ -21,9 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * between 2k docs/sec and 100k+ docs/sec per core, which at 10¹² docs
   * is the difference between a feasible job and an impossible one.
   *
+  * Memory-bandwidth note (the measured scaling ceiling at 32 threads is
+  * bus saturation, see BENCH.md): pure-ASCII documents — the
+  * overwhelming web-corpus majority — are processed directly on the
+  * UTF-8 BYTES of the incoming UTF8String: no char[] materialisation,
+  * half the bytes per character, one byte-array normalisation buffer.
+  * Non-ASCII documents take the char fallback path with identical
+  * semantics (same FNV values for any shared ASCII content, since an
+  * ASCII byte equals its char code).
+  *
+  * Unicode semantics: `n_chars`, `symbol_ratio` and `mean_word_len`
+  * count CODE POINTS, matching Spark's `length()`/regex semantics (the
+  * Column reference path in [[TextFns]]). Lowercasing in the fallback is
+  * per-code-unit `Character.toLowerCase` — locale-independent, but it
+  * diverges from full-string lowercase for the handful of chars with
+  * 1→N lowercase mappings (e.g. U+0130); those feed only engine-internal
+  * hashes (fingerprint/langid/minhash), never the SQL-oracle surface.
+  *
   * The Column-based equivalents in [[TextFns]] remain the semantic
   * reference (and the SQL-oracle path); DocStatsSpec cross-validates the
-  * two implementations field by field.
+  * two implementations field by field, including non-ASCII inputs.
   *
   * Hash notes: all hashes here (FNV-1a 64) are engine-internal — used
   * only for dedup bucketing within a run — so they need determinism, not
@@ -52,15 +69,26 @@ object DocStats {
 
   // \s of Java regex: [ \t\n\x0B\f\r] — keep EXACTLY in sync with
   // TextFns.tokens (cross-validated in DocStatsSpec)
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  @inline private def isAlnum(c: Char): Boolean =
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  @inline private def isAlnum(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   @inline def fnv1a(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from
     while (i < until) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** FNV-1a over bytes. For ASCII content this equals [[fnv1a]] over the
+    * same chars (an ASCII byte's unsigned value IS its char code) — the
+    * invariant that lets the byte and char paths share every hash table.
+    */
+  @inline def fnv1aB(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     h
   }
 
@@ -77,13 +105,38 @@ object DocStats {
   private val toxHashes: Array[Long] =
     TextFns.ToxicityLexicon.map(w => fnv1a(w, 0, w.length)).sorted.toArray
 
+  /** String entry point (tests/micro-bench); dispatches like [[computeU]]. */
   def compute(text: String, minHashK: Int): Result = {
     val n = text.length
-    // --- raw-text pass: symbols + lines ---
+    var ascii = true
+    var i = 0
+    while (i < n && ascii) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii)
+      computeBytes(text.getBytes(java.nio.charset.StandardCharsets.US_ASCII), minHashK)
+    else computeChars(text, minHashK)
+  }
+
+  /** UTF8String entry point (the expression's hot path): pure-ASCII docs
+    * never materialise a String/char[].
+    */
+  def computeU(u: UTF8String, minHashK: Int): Result = {
+    val b = u.getBytes
+    var ascii = true
+    var i = 0
+    while (i < b.length && ascii) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) computeBytes(b, minHashK) else computeChars(u.toString, minHashK)
+  }
+
+  // ---------------------------------------------------------------------
+  // ASCII byte path — the bandwidth-lean hot path
+  // ---------------------------------------------------------------------
+  private def computeBytes(b: Array[Byte], minHashK: Int): Result = {
+    val n = b.length
+    // --- raw pass: symbols + lines ---
     var symbols = 0
     var i = 0
     while (i < n) {
-      val c = text.charAt(i)
+      val c = b(i)
       if (!isAlnum(c) && !isWs(c)) symbols += 1
       i += 1
     }
@@ -92,8 +145,127 @@ object DocStats {
     var ls = 0
     i = 0
     while (i <= n) {
+      if (i == n || b(i) == '\n') {
+        // line [ls, i) — count if not space-only (Spark trim semantics:
+        // trim strips ' ' only, so a tab-only line is NOT blank)
+        var j = ls; var blank = true
+        while (j < i && blank) { if (b(j) != ' ') blank = false; j += 1 }
+        if (!blank) {
+          nLines += 1
+          if (lineHashes.add(fnv1aB(b, ls, i))) nDistinct += 1
+        }
+        ls = i + 1
+      }
+      i += 1
+    }
+    val dupLineRatio = if (nLines > 0) 1.0 - nDistinct.toDouble / nLines else 0.0
+
+    // --- normalised bytes (lowercase, \s+ → single space, trimmed) ---
+    val norm = new Array[Byte](n)
+    var m = 0
+    var inWs = false
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isWs(c)) inWs = true
+      else {
+        if (inWs && m > 0) { norm(m) = ' '; m += 1 }
+        inWs = false
+        norm(m) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        m += 1
+      }
+      i += 1
+    }
+
+    // --- token pass over norm: counts, stopwords, toxicity, token hashes ---
+    var nWords = 0; var sumLen = 0L; var stopHits = 0; var toxHits = 0
+    val tokHashes = new java.util.ArrayList[Long](64)
+    var ts = 0
+    i = 0
+    while (i <= m) {
+      if (i == m || norm(i) == ' ') {
+        if (i > ts) {
+          nWords += 1
+          sumLen += (i - ts)
+          val th = fnv1aB(norm, ts, i)
+          if (java.util.Arrays.binarySearch(stopHashes, th) >= 0) stopHits += 1
+          if (java.util.Arrays.binarySearch(toxHashes, th) >= 0) toxHits += 1
+          tokHashes.add(th)
+        }
+        ts = i + 1
+      }
+      i += 1
+    }
+
+    // --- langid + perplexity over norm trigrams, one zero-alloc loop ---
+    val lid = LangIdModel.fastModel
+    val lmGram = CharLm.fastGramLogProb
+    val lmCtxDflt = CharLm.fastCtxDefaultLogProb
+    val lmGlobalDflt = CharLm.globalDefaultLogProb
+    val nLangs = lid.langs.length
+    val lidScores = new Array[Double](nLangs)
+    var lmLogSum = 0.0
+    var grams = 0
+    if (m >= 3) {
+      i = 0
+      while (i + 3 <= m) {
+        val gramHash = fnv1aB(norm, i, i + 3)
+        var l = 0
+        while (l < nLangs) {
+          lidScores(l) += lid.tables(l).getOrDefault(gramHash, lid.defaults(l))
+          l += 1
+        }
+        var lp = lmGram.getOrDefault(gramHash, 1.0)
+        if (lp > 0) {
+          val ctxHash = fnv1aB(norm, i, i + 2)
+          lp = lmCtxDflt.getOrDefault(ctxHash, lmGlobalDflt)
+        }
+        lmLogSum += lp
+        grams += 1
+        i += 1
+      }
+    }
+    val (lang, langScore) = argmaxLang(lidScores, grams, lid.langs)
+    val perplexity = if (grams == 0) 1.0 else math.exp(-lmLogSum / grams)
+
+    Result(
+      nChars = n,
+      nWords = nWords,
+      meanWordLen = if (nWords > 0) sumLen.toDouble / nWords else null,
+      symbolRatio = if (n > 0) symbols.toDouble / n else null,
+      stopwordRatio = if (nWords > 0) stopHits.toDouble / nWords else null,
+      toxicityHits = toxHits,
+      nLines = nLines, nDistinctLines = nDistinct, dupLineRatio = dupLineRatio,
+      lang = lang, langScore = langScore, perplexity = perplexity,
+      fingerprint = fnv1aB(norm, 0, m),
+      minhash = minhashOf(tokHashes, minHashK))
+  }
+
+  // ---------------------------------------------------------------------
+  // char fallback — non-ASCII docs; code-point-correct counting
+  // ---------------------------------------------------------------------
+  private def computeChars(text: String, minHashK: Int): Result = {
+    val n = text.length
+    // --- raw-text pass: code points, symbols + lines ---
+    var nChars = 0
+    var symbols = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      // a low surrogate is the second half of an already-counted code point
+      if (!Character.isLowSurrogate(c)) {
+        nChars += 1
+        // surrogate pairs are never alnum/ws → classified as one symbol
+        if (!isAlnum(c) && !isWs(c)) symbols += 1
+      }
+      i += 1
+    }
+    var nLines = 0; var nDistinct = 0
+    val lineHashes = new java.util.HashSet[java.lang.Long]()
+    var ls = 0
+    i = 0
+    while (i <= n) {
       if (i == n || text.charAt(i) == '\n') {
-        // line [ls, i) — count if not space-only (Spark trim semantics)
         var j = ls; var blank = true
         while (j < i && blank) { if (text.charAt(j) != ' ') blank = false; j += 1 }
         if (!blank) {
@@ -124,31 +296,30 @@ object DocStats {
       sb.toString
     }
 
-    // --- token pass over norm: counts, stopwords, toxicity, token hashes ---
+    // --- token pass over norm ---
     var nWords = 0; var sumLen = 0L; var stopHits = 0; var toxHits = 0
     val tokHashes = new java.util.ArrayList[Long](64)
     var ts = 0
+    var tokCp = 0 // code points in the current token
     val m = norm.length
     i = 0
     while (i <= m) {
       if (i == m || norm.charAt(i) == ' ') {
         if (i > ts) {
           nWords += 1
-          sumLen += (i - ts)
+          sumLen += tokCp
           val th = fnv1a(norm, ts, i)
           if (java.util.Arrays.binarySearch(stopHashes, th) >= 0) stopHits += 1
           if (java.util.Arrays.binarySearch(toxHashes, th) >= 0) toxHits += 1
           tokHashes.add(th)
         }
         ts = i + 1
-      }
+        tokCp = 0
+      } else if (!Character.isLowSurrogate(norm.charAt(i))) tokCp += 1
       i += 1
     }
 
-    // --- langid + perplexity over norm trigrams, one zero-alloc loop ---
-    // no math.log here: all log-probs are precomputed in the tables
-    // (log-probs are strictly negative, so a positive sentinel marks a
-    // table miss)
+    // --- langid + perplexity over norm trigrams ---
     val lid = LangIdModel.fastModel
     val lmGram = CharLm.fastGramLogProb
     val lmCtxDflt = CharLm.fastCtxDefaultLogProb
@@ -176,24 +347,44 @@ object DocStats {
         i += 1
       }
     }
-    val (lang, langScore) =
-      if (grams == 0) ("und", 0.0)
-      else {
-        var best = 0; var second = -1
-        var l = 1
-        while (l < nLangs) {
-          if (lidScores(l) > lidScores(best)) { second = best; best = l }
-          else if (second < 0 || lidScores(l) > lidScores(second)) second = l
-          l += 1
-        }
-        val margin =
-          if (second < 0) 0.0
-          else (lidScores(best) - lidScores(second)) / grams
-        (lid.langs(best), margin)
-      }
+    val (lang, langScore) = argmaxLang(lidScores, grams, lid.langs)
     val perplexity = if (grams == 0) 1.0 else math.exp(-lmLogSum / grams)
 
-    // --- shingle hashes + minhash ---
+    Result(
+      nChars = nChars,
+      nWords = nWords,
+      meanWordLen = if (nWords > 0) sumLen.toDouble / nWords else null,
+      symbolRatio = if (nChars > 0) symbols.toDouble / nChars else null,
+      stopwordRatio = if (nWords > 0) stopHits.toDouble / nWords else null,
+      toxicityHits = toxHits,
+      nLines = nLines, nDistinctLines = nDistinct, dupLineRatio = dupLineRatio,
+      lang = lang, langScore = langScore, perplexity = perplexity,
+      fingerprint = fnv1a(norm, 0, norm.length),
+      minhash = minhashOf(tokHashes, minHashK))
+  }
+
+  // ---------------------------------------------------------------------
+  // shared tails
+  // ---------------------------------------------------------------------
+  private def argmaxLang(lidScores: Array[Double], grams: Int,
+                         langs: Array[String]): (String, Double) =
+    if (grams == 0) ("und", 0.0)
+    else {
+      var best = 0; var second = -1
+      var l = 1
+      while (l < lidScores.length) {
+        if (lidScores(l) > lidScores(best)) { second = best; best = l }
+        else if (second < 0 || lidScores(l) > lidScores(second)) second = l
+        l += 1
+      }
+      val margin =
+        if (second < 0) 0.0
+        else (lidScores(best) - lidScores(second)) / grams
+      (langs(best), margin)
+    }
+
+  private def minhashOf(tokHashes: java.util.ArrayList[Long],
+                        minHashK: Int): Array[java.lang.Long] = {
     val nTok = tokHashes.size()
     val shingleHashes: Array[Long] =
       if (nTok >= ShingleSize) {
@@ -235,18 +426,7 @@ object DocStats {
         p += 1
       }
     } // else: array of nulls (matches array_min over empty = null)
-
-    Result(
-      nChars = n,
-      nWords = nWords,
-      meanWordLen = if (nWords > 0) sumLen.toDouble / nWords else null,
-      symbolRatio = if (n > 0) symbols.toDouble / n else null,
-      stopwordRatio = if (nWords > 0) stopHits.toDouble / nWords else null,
-      toxicityHits = toxHits,
-      nLines = nLines, nDistinctLines = nDistinct, dupLineRatio = dupLineRatio,
-      lang = lang, langScore = langScore, perplexity = perplexity,
-      fingerprint = fnv1a(norm, 0, norm.length),
-      minhash = sig)
+    sig
   }
 
   def docStats(c: Column, minHashK: Int): Column =
@@ -259,7 +439,7 @@ case class DocStatsExpr(child: Expression, minHashK: Int)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any = {
-    val r = DocStats.compute(input.asInstanceOf[UTF8String].toString, minHashK)
+    val r = DocStats.computeU(input.asInstanceOf[UTF8String], minHashK)
     InternalRow(
       r.nChars, r.nWords, r.meanWordLen, r.symbolRatio, r.stopwordRatio,
       r.toxicityHits, r.nLines, r.nDistinctLines, r.dupLineRatio,

@@ -138,9 +138,12 @@ object LangIdModel {
 }
 
 private[functions] object TextNorm {
-  /** Lowercase, collapse whitespace — must match TextFns.normText. */
+  /** Lowercase, collapse whitespace — must match TextFns.normText.
+    * Locale.ROOT: a Turkish-locale JVM must not derive a different
+    * langid/perplexity model ("identical model on every JVM").
+    */
   def norm(s: String): String =
-    s.trim.toLowerCase.replaceAll("\\s+", " ")
+    s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
 }
 
 /** `lang_id(text)` → struct<lang: string, score: double>. */
@@ -176,7 +179,21 @@ object LangId {
     "es" -> Seq("el", "los", "que", "las", "para", "como")
   )
 
-  def markerLang(c: Column): Column = {
+  /** Fused marker scorer (the hot path): one pass over the text, token
+    * FNV lookups against the sorted marker-hash table. The composed
+    * version below ([[markerLangComposed]]) interprets 4 HOF lambdas per
+    * token (measured 5.4 s vs <0.5 s at sf0.1); LangIdSpec asserts the
+    * two paths are equal on every fixture doc.
+    */
+  def markerLang(c: Column): Column =
+    GraftExpr.column(MarkerLangExpr(GraftExpr.expr(c)))
+
+  /** Column-composed semantic reference for [[markerLang]] (and the shape
+    * the SQL oracle mirrors): per-language marker-hit counts over
+    * lowercased tokens, argmax with tie-break on lang asc, all-zero →
+    * "und".
+    */
+  def markerLangComposed(c: Column): Column = {
     val toks = transform(TextFns.tokens(c), t => lower(t))
     val scored = Markers.toSeq.sortBy(_._1).map { case (l, ws) =>
       val set = array(ws.map(lit): _*)
@@ -189,4 +206,71 @@ object LangId {
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+}
+
+/** `marker_lang(text)` → string: fused equivalent of
+  * [[LangId.markerLangComposed]]. Tokens are whitespace-split (Java `\s`,
+  * matching TextFns.tokens), lowercased per char (markers are ASCII), and
+  * matched by FNV-1a against the marker table; ties break to the
+  * lexicographically smaller language; zero hits → "und".
+  */
+case class MarkerLangExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  import MarkerLangExpr._
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val hits = new Array[Int](LangsAsc.length)
+    val n = s.length
+    var i = 0
+    var ts = -1
+    var h = 0xcbf29ce484222325L
+    while (i <= n) {
+      val ws = i == n || isWs(s.charAt(i))
+      if (ws) {
+        if (ts >= 0) {
+          val idx = java.util.Arrays.binarySearch(SortedHashes, h)
+          if (idx >= 0) hits(HashLang(idx)) += 1
+          ts = -1
+          h = 0xcbf29ce484222325L
+        }
+      } else {
+        if (ts < 0) ts = i
+        h ^= Character.toLowerCase(s.charAt(i)); h *= 0x100000001b3L
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < hits.length) {
+      if (hits(l) > hits(best)) best = l // ties keep the earlier lang
+      l += 1
+    }
+    if (hits(best) > 0) LangsU8(best) else Und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerLangExpr =
+    copy(child = newChild)
+}
+
+object MarkerLangExpr {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val LangsAsc: Array[String] = LangId.Markers.keys.toArray.sorted
+  private val LangsU8: Array[UTF8String] = LangsAsc.map(UTF8String.fromString)
+  private val Und: UTF8String = UTF8String.fromString("und")
+
+  // sorted (marker FNV) with a parallel lang-index array for binary search
+  private val (sortedHashes, hashLang) = {
+    val pairs = LangsAsc.zipWithIndex.flatMap { case (l, li) =>
+      LangId.Markers(l).map(w => (DocStats.fnv1a(w, 0, w.length), li))
+    }.sortBy(_._1)
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+  private val SortedHashes: Array[Long] = sortedHashes
+  private val HashLang: Array[Int] = hashLang
 }

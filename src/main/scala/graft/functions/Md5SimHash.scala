@@ -31,7 +31,9 @@ case class Md5SimHashExpr(child: Expression, bits: Int)
     while (i <= len) {
       if (i == len || isWs(s.charAt(i))) {
         if (ts >= 0) {
-          val tok = s.substring(ts, i).toLowerCase
+          // Locale.ROOT: the oracle-checked md5 depends on these bytes —
+          // a Turkish-locale JVM lowercasing "I" to "ı" would fork them
+          val tok = s.substring(ts, i).toLowerCase(java.util.Locale.ROOT)
           if (seen.add(tok)) {
             n += 1
             md.reset()

@@ -63,6 +63,8 @@ object Checkpointer {
           .toDF("partition", "n_docs", "n_kept", "n_verdicts", "wall_ms")
         lineageTable.overwritePartition(lineage, day)
         kept.unpersist(); verdicts.unpersist()
+        res.unpersist() // release the pipeline's internal caches — a long
+        // multi-day run would otherwise accumulate one cache set per day
         PartitionReport(day, nDocs, nKept, nVerdicts, wallMs, skipped = false)
       }
     }.toSeq

@@ -132,7 +132,8 @@ object QualityPipeline {
     * hash-distributed by construction (band keys are uniform hashes), so
     * host-level skew cannot concentrate this shuffle.
     */
-  def nearDupVerdicts(feat: DataFrame, cfg: Config): DataFrame = {
+  def nearDupVerdicts(feat: DataFrame, cfg: Config,
+                      bag: CacheBag = new CacheBag): DataFrame = {
     val sigs = feat
       .filter(col("text").isNotNull && col("n_words") >= lit(5))
       .select(col("url"), col("minhash_sig"))
@@ -166,17 +167,61 @@ object QualityPipeline {
         (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast(DoubleType) / lit(cfg.minHashK))
       .filter(col("jaccard") >= cfg.minJaccard)
-    // drop the larger url of each verified pair; keep one verdict per url
-    jac.select(col("url2").as("url"), lit("near_dup").as("rule"),
-        lit(false).as("keep"), col("jaccard").cast(DoubleType).as("score"),
-        col("url1").cast("string").as("detail"))
-      .dropDuplicates("url")
+    // transitive closure over the verified pairs: the reference's MCL
+    // yields TRANSITIVE clusters (/root/reference/src/markov_clustering.py:58-73)
+    // — a chain A~B~C where A and C share no bucket must still keep only
+    // one survivor. Min-label propagation over the (tiny) verified edge
+    // set; each member is dropped in favour of its cluster-min url.
+    val labels = connectedMin(jac.select(col("url1"), col("url2")), bag)
+    labels.filter(col("url") =!= col("label"))
+      .select(col("url"), lit("near_dup").as("rule"),
+        lit(false).as("keep"), lit(1.0).cast(DoubleType).as("score"),
+        col("label").cast("string").as("detail"))
   }
 
-  def pass1(feat: DataFrame, cfg: Config = defaultConfig): DataFrame =
+  /** Connected components by iterative min-label propagation:
+    * (url, label=min url of its component). The edge set is verified
+    * near-dup pairs — orders of magnitude smaller than the corpus — so a
+    * handful of tiny shuffles is cheap; iterations are bounded by the
+    * cluster diameter (near-dup clusters are dense star/clique-like
+    * shapes, diameter ≤ a few hops; hard cap 15 documents the contract).
+    */
+  private[pipeline] def connectedMin(pairs: DataFrame,
+                                     bag: CacheBag = new CacheBag): DataFrame = {
+    val edges = pairs.select(col("url1").as("a"), col("url2").as("b"))
+      .unionByName(pairs.select(col("url2").as("a"), col("url1").as("b")))
+      .distinct().cache()
+    var labels = edges.groupBy(col("a").as("url"))
+      .agg(least(min(col("b")), first(col("a"))).as("label")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val next = edges
+        .join(labels.withColumnRenamed("url", "b").withColumnRenamed("label", "nl"), Seq("b"))
+        .groupBy(col("a").as("url")).agg(min(col("nl")).as("pl"))
+        .join(labels, Seq("url"))
+        .select(col("url"), least(col("label"), col("pl")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("url"))
+        .filter(col("label") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    // the final labels cache must OUTLIVE this call (the returned verdict
+    // view reads it until v1 is materialised) — the bag releases it
+    bag.track(labels)
+    labels
+  }
+
+  def pass1(feat: DataFrame, cfg: Config = defaultConfig,
+            bag: CacheBag = new CacheBag): DataFrame =
     heuristicVerdicts(feat, cfg)
       .unionByName(exactDupVerdicts(feat))
-      .unionByName(nearDupVerdicts(feat, cfg))
+      .unionByName(nearDupVerdicts(feat, cfg, bag))
 
   // ---------------------------------------------------------------------
   // Pass 2 — corpus-stat rules over pass-1 survivors
@@ -188,6 +233,18 @@ object QualityPipeline {
     * All sums are exact decimals (order-independent — see Stats).
     */
   def pass2(survivors: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val (v2, statCols) = pass2Impl(survivors, cfg)
+    // force now so the caller may not leak the internal cache forever:
+    // the verdicts are tiny, the cache has served its purpose once built
+    v2.cache().count()
+    statCols.unpersist()
+    v2
+  }
+
+  /** pass2 returning (verdicts, internal statCols cache) so [[run]] can
+    * release the cache once the result set is materialised.
+    */
+  private def pass2Impl(survivors: DataFrame, cfg: Config): (DataFrame, DataFrame) = {
     val statCols = survivors.select("url", "lang", "n_chars", "n_words", "perplexity")
       .cache()
     import org.apache.spark.sql.types.DecimalType
@@ -232,17 +289,35 @@ object QualityPipeline {
         .select(col("url"), lit("tendency_n_words_n_chars").as("rule"),
           lit(false).as("keep"), lit(lt.toDouble / total).cast(DoubleType).as("score"),
           concat_ws(">", col("n_words"), col("n_chars")).as("detail")))
-    (extremes ++ Seq(groupZ, rare) ++ tend.toSeq)
+    val v2 = (extremes ++ Seq(groupZ, rare) ++ tend.toSeq)
       .reduceOption(_ unionByName _)
       .getOrElse(statCols.sparkSession.createDataFrame(
         statCols.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.model.Verdict.schema))
+    (v2, statCols)
   }
 
   // ---------------------------------------------------------------------
   // Assembly
   // ---------------------------------------------------------------------
-  final case class Result(verdicts: DataFrame, kept: DataFrame, metrics: DataFrame)
+  /** Registry of cached intermediates so a long-running caller (the
+    * Checkpointer loops over hundreds of day partitions; benches loop over
+    * parallelism levels) can release them once outputs are written —
+    * otherwise cached RDDs accumulate unboundedly across partitions.
+    */
+  final class CacheBag {
+    private val dfs = scala.collection.mutable.Buffer[DataFrame]()
+    def track(df: DataFrame): DataFrame = { dfs += df; df }
+    def release(): Unit = { dfs.foreach(_.unpersist()); dfs.clear() }
+  }
+
+  final case class Result(verdicts: DataFrame, kept: DataFrame,
+                          metrics: DataFrame, bag: CacheBag) {
+    /** Release every cached intermediate. Call AFTER kept/verdicts are
+      * written (the outputs are lazy views over the caches).
+      */
+    def unpersist(): Unit = bag.release()
+  }
 
   /** Full run: features → pass1 → survivors → pass2 → kept + scrub.
     * `fusedScrub=true` uses the single-pass ScrubText expression; both
@@ -250,7 +325,8 @@ object QualityPipeline {
     */
   def run(pages: DataFrame, cfg: Config = defaultConfig,
           fusedScrub: Boolean = true): Result = {
-    val feat = features(pages, cfg).cache()
+    val bag = new CacheBag
+    val feat = bag.track(features(pages, cfg).cache())
     // MATERIALIZATION BARRIER: pass-1 is a union of three independent
     // branches that all scan `feat`; without forcing the cache first,
     // their stages run concurrently against a cold cache and each branch
@@ -260,13 +336,18 @@ object QualityPipeline {
     // verdicts are tiny relative to pages — caching v1 (and the url-only
     // drop-set) means neither the dedup joins nor pass-1 re-run for any
     // downstream action (pass-2 stats, kept build, verdict write)
-    val v1 = pass1(feat, cfg).cache()
-    val dropped1 = v1.select("url").distinct().cache()
-    dropped1.count()
+    val v1 = bag.track(pass1(feat, cfg, bag).cache())
+    val dropped1 = bag.track(v1.select("url").distinct().cache())
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
+    // pass-2's single stats-agg action (inside pass2Impl) materialises
+    // the v1/dropped1 caches through the survivor anti-join lineage — a
+    // separate dropped1.count() barrier here was pure serial driver
+    // latency (one full job round-trip on the critical path)
+    val (v2raw, statCols) = pass2Impl(survivors, cfg)
+    bag.track(statCols)
     // v2 is small; caching it keeps the kept-build and the verdict write
     // from re-running the pass-2 group joins
-    val v2 = pass2(survivors, cfg).cache()
+    val v2 = bag.track(v2raw.cache())
     val verdicts = v1.unionByName(v2)
     val scrub: Column => Column =
       if (fusedScrub) Scrub.scrubFused else Scrub.scrubCol
@@ -278,6 +359,6 @@ object QualityPipeline {
         scrub(col("text")).as("scrubbed_text"))
     val metrics = verdicts.rollup(col("rule")).count()
       .withColumn("rule", coalesce(col("rule"), lit("__total__")))
-    Result(verdicts, kept, metrics)
+    Result(verdicts, kept, metrics, bag)
   }
 }

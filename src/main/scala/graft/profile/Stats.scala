@@ -47,6 +47,9 @@ object Stats {
         sum(x.cast(DecimalType(19, 5)) * x.cast(DecimalType(19, 5))).as("__s2"))
 
   def fromSums(n: Long, s: java.math.BigDecimal, s2: java.math.BigDecimal): Moments = {
+    // sum() over zero rows yields null — a per-day Checkpointer slice where
+    // pass 1 dropped everything must commit an empty partition, not NPE
+    if (n == 0 || s == null || s2 == null) return Moments(0, Double.NaN, Double.NaN)
     val mean = s.doubleValue() / n
     val variance =
       if (n < 2) Double.NaN
