@@ -299,18 +299,24 @@ object Queries {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "changed").as("text"))
     val aug = d.unionByName(mut)
-    // fused distinct-shingle-hash expression: the shingle is only a JOIN
-    // key, so FNV hashes replace the composed string-building pipeline
-    // (same pair/jaccard output; DuckDB oracle keeps the string form)
+    ngramJaccardPairs(aug).orderBy("id1", "id2")
+  }
+
+  /** Core of [[dqNgramJaccard]] over any (doc_id, text) corpus — exposed
+    * so NgramJaccardSpec can prove the hot-key bound on a planted
+    * boilerplate corpus. Fused distinct-shingle-hash expression: the
+    * shingle is only a JOIN key, so FNV hashes replace the composed
+    * string-building pipeline (same pair/jaccard output; the DuckDB
+    * oracle keeps the string form).
+    */
+  def ngramJaccardPairs(aug: DataFrame): DataFrame = {
     val ex0 = aug
       .withColumn("sh", graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
       .select(col("doc_id"), explode(col("sh")).as("tok"))
     // df cap: drop hot shingles BEFORE the self-join; per-doc sizes are
     // recomputed over the capped universe so the Jaccard denominator and
     // the shared count agree
-    val allowed = ex0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("tok")
-    val ex = ex0.join(allowed, Seq("tok"))
+    val ex = cappedShingles(ex0)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -323,7 +329,16 @@ object Queries {
         (col("n1") + col("n2") - col("shared")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id1", "id2", "jaccard")
-      .orderBy("id1", "id2")
+  }
+
+  /** The df-capped (doc_id, tok) universe — every downstream join key has
+    * at most [[MaxShingleDf]] occurrences, so the self-join emits at most
+    * df·(df−1)/2 ≤ 2016 rows per shingle instead of O(corpus²).
+    */
+  def cappedShingles(ex0: DataFrame): DataFrame = {
+    val allowed = ex0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("tok")
+    ex0.join(allowed, Seq("tok"))
   }
 
   val dqNgramJaccardSql: String = {

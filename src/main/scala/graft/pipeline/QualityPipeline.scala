@@ -186,8 +186,8 @@ object QualityPipeline {
     * cluster diameter (near-dup clusters are dense star/clique-like
     * shapes, diameter ≤ a few hops; hard cap 15 documents the contract).
     */
-  private[pipeline] def connectedMin(pairs: DataFrame,
-                                     bag: CacheBag = new CacheBag): DataFrame = {
+  private[graft] def connectedMin(pairs: DataFrame,
+                                  bag: CacheBag = new CacheBag): DataFrame = {
     val edges = pairs.select(col("url1").as("a"), col("url2").as("b"))
       .unionByName(pairs.select(col("url2").as("a"), col("url1").as("b")))
       .distinct().cache()

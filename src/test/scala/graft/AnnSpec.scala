@@ -61,4 +61,43 @@ class AnnSpec extends AnyFunSuite {
     // every approx hit must share the query's bucket AND be a true vector
     assert(approx.forall { case (q, i) => q != i })
   }
+
+  test("autoNBits sizes buckets to the corpus (occupancy ≈ targetBucket)") {
+    // buckets/table = 2^nBits ⇒ expected occupancy n/2^nBits ≤ target
+    assert(Ann.autoNBits(2000, 64) == 5) //  2k/32  = 62 ≤ 64
+    assert(Ann.autoNBits(1000000000L, 64) == 24) // 1e9/2^24 ≈ 60
+    assert(Ann.autoNBits(10, 64) == 4) // floor
+    Seq(1000L, 100000L, 10000000L).foreach { n =>
+      val bits = Ann.autoNBits(n, 64)
+      assert(n.toDouble / (1L << bits) <= 64.0, s"occupancy blown at n=$n")
+    }
+  }
+
+  test("lshTopK with autoNBits + multi-probe: recall ≥ 0.6 on CLUSTERED vectors") {
+    // deterministic clustered fixture: 20 centers × 50 members, dim 16 —
+    // the realistic ANN regime (random vectors, tested above, are the
+    // degenerate worst case). Neighbors of a query are its cluster mates.
+    var seed = 0x243f6a8885a308dL
+    def next(): Double = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (seed >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+    }
+    val centers = Array.fill(20, 16)(next())
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * next()).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "vec").cache()
+    val queries = df.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Ann.bruteForceTopK(df, queries, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val nBits = Ann.autoNBits(1000, 64) // = 4
+    val approx = Ann.lshTopK(df, queries, 10, dim = 16, nBits = nBits,
+        tables = 12, multiProbe = true).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"clustered LSH recall@10 = $recall%.3f (nBits=$nBits, 12 tables, multiprobe)")
+    assert(recall >= 0.6, f"clustered recall $recall%.3f below 0.6")
+  }
 }

@@ -36,6 +36,36 @@ class CoverageSpec extends AnyFunSuite {
     assert(back.head().url.startsWith("https://"))
   }
 
+  test("PageSource: JDBC ('sql') source round-trips pages through embedded Derby") {
+    // reference S2 dispatches pd.read_sql (utils.py:42-67); the sandbox
+    // ships Derby (Spark's metastore dependency) — an in-memory DB proves
+    // the spark.read.jdbc path end to end with the exact Page schema
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE pages (
+        "url" VARCHAR(300), "warc_ts" TIMESTAMP, "html" BLOB,
+        "text" VARCHAR(4000), "lang" VARCHAR(8))""")
+      val ins = conn.prepareStatement("INSERT INTO pages VALUES (?, ?, ?, ?, ?)")
+      val rows = (0L until 5L).map(PagesGen.genRow)
+      rows.foreach { p =>
+        ins.setString(1, p.url); ins.setTimestamp(2, p.warc_ts)
+        ins.setBytes(3, p.html); ins.setString(4, p.text.take(4000))
+        ins.setString(5, p.lang)
+        ins.executeUpdate()
+      }
+      val back = PageSource.loadJdbc(spark, url, "pages").collect()
+      assert(back.length == 5)
+      val byUrl = back.map(p => p.url -> p).toMap
+      rows.foreach { p =>
+        assert(byUrl(p.url).text == p.text.take(4000), p.url)
+        assert(byUrl(p.url).lang == p.lang)
+        assert(java.util.Arrays.equals(byUrl(p.url).html, p.html))
+      }
+    } finally conn.close()
+  }
+
   test("yearFraction matches the reference formula") {
     val got = Seq("2006-11-16").toDF("d")
       .select(graft.functions.DateFns.yearFraction(col("d").cast("timestamp")))

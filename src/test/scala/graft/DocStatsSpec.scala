@@ -25,7 +25,14 @@ class DocStatsSpec extends AnyFunSuite {
     "   ",
     "123 456 mixed 789 numbers",
     "damn this hell of a crap idiot test",
-    (1 to 100).map(i => s"w$i").mkString(" ")
+    (1 to 100).map(i => s"w$i").mkString(" "),
+    // non-ASCII: the char fallback path must count CODE POINTS like
+    // Spark's length()/regex (BMP accents, supplementary-plane emoji,
+    // NBSP is not \s, vertical tab IS \s)
+    "café naïve résumé über señor straße",
+    "ÀÉÎÕÜ UPPER accents the and of",
+    "emoji 🙂 mixed 🚀 content here",
+    "tab\tand\u00A0nbsp\u000Bvt mixed   runs the of"
   )
 
   private lazy val fused = samples.toDF("t")

@@ -62,4 +62,26 @@ class LangIdSpec extends AnyFunSuite {
     val got = df.select(LangId.markerLang(col("t"))).collect().map(_.getString(0))
     assert(got.toSeq == Seq("en", "fr", "und", "de"))
   }
+
+  test("fused marker scorer equals the composed Column version everywhere") {
+    // the fixture corpus + adversarial edge cases (ties, empties, case,
+    // whitespace zoo); the fused expression must be a pure optimisation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edge = Seq("", "   ", "\t\n", "THE AND OF", "the la", "la the",
+      "le der el the le der el the", "does-not-match anything here",
+      "withvt\tand nbsp the").toDF("text")
+    Seq(docs, edge.toDF()).foreach { d =>
+      val mismatch = d.select(
+          LangId.markerLang(col("text")).as("f"),
+          LangId.markerLangComposed(col("text")).as("c"))
+        .filter(!(col("f") <=> col("c")))
+      assert(mismatch.count() == 0,
+        mismatch.collect().take(5).mkString("; "))
+    }
+    // tie goes to the lexicographically earlier language (de<en<es<fr)
+    val tie = Seq("the der").toDF("text")
+      .select(LangId.markerLang(col("text"))).head().getString(0)
+    assert(tie == "de")
+  }
 }

@@ -130,6 +130,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.contains("empty"))
   }
 
+  test("connectedMin: transitive chains collapse to the component-min label") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("url1", "url2")
+    val labels = QualityPipeline.connectedMin(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("near-dup transitivity: A~B~C chain where A~C cannot verify directly " +
+    "still keeps exactly one survivor") {
+    import spark.implicits._
+    // deterministic 200-DISTINCT-word base (distinct so the shingle set is
+    // maximal — a periodic text hides mutations because the original
+    // shingles survive elsewhere); B mutates a 9-word block at the front,
+    // C mutates B with a second 9-word block at the back — so
+    // jaccard(A,B) ≈ jaccard(B,C) ≈ 0.88 (verifiable at 0.8) while
+    // jaccard(A,C) carries BOTH mutation blocks and lands below the
+    // verify bar: the A–C edge can only come from transitivity
+    val base = (0 until 200).map(i => s"w$i")
+    def mutate(ws: Seq[String], at: Int, tag: String): Seq[String] =
+      (0 until 9).foldLeft(ws)((acc, j) => acc.updated(at + j, s"mut$tag$j"))
+    val a = base
+    val b = mutate(base, 40, "b")
+    val c = mutate(b, 150, "c")
+    // k=128 signature in this test: the default k=32 estimator's σ≈0.07
+    // cannot reliably separate j(edge)=0.875 from j(A,C)=0.766 around the
+    // 0.8 threshold; k=128 (σ≈0.037) can
+    val cfg = QualityPipeline.defaultConfig.copy(
+      minHashK = 128, bands = 16, rowsPerBand = 8)
+    // precondition (asserted): the pairwise signature-estimated jaccards
+    // straddle the verify threshold exactly as designed
+    def est(x: Seq[String], y: Seq[String]): Double = {
+      val sx = graft.functions.DocStats.compute(x.mkString(" "), cfg.minHashK).minhash
+      val sy = graft.functions.DocStats.compute(y.mkString(" "), cfg.minHashK).minhash
+      sx.zip(sy).count(p => p._1 == p._2).toDouble / cfg.minHashK
+    }
+    val (eab, ebc, eac) = (est(a, b), est(b, c), est(a, c))
+    info(f"estimated jaccards: A~B=$eab%.3f B~C=$ebc%.3f A~C=$eac%.3f")
+    assert(eab >= 0.8 && ebc >= 0.8, "fixture drifted: chain edges must verify")
+    assert(eac < 0.8, "fixture drifted: A~C must NOT verify directly")
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val chainPages = Seq(
+      ("https://chain/p/1", ts, Array.empty[Byte], a.mkString(" "), "en"),
+      ("https://chain/p/2", ts, Array.empty[Byte], b.mkString(" "), "en"),
+      ("https://chain/p/3", ts, Array.empty[Byte], c.mkString(" "), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val feat = QualityPipeline.features(chainPages, cfg)
+    val v = QualityPipeline.nearDupVerdicts(feat, cfg)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("detail")).toMap
+    assert(v == Map("https://chain/p/2" -> "https://chain/p/1",
+      "https://chain/p/3" -> "https://chain/p/1"),
+      s"expected B and C dropped in favour of A, got $v")
+  }
+
   test("fused scrub and chain scrub produce identical kept output") {
     val a = QualityPipeline.run(pages, fusedScrub = false).kept
       .select("url", "scrubbed_text").collect()

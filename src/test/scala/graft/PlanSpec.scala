@@ -48,6 +48,28 @@ class PlanSpec extends AnyFunSuite {
     assert(physical(joined).contains("BroadcastHashJoin"))
   }
 
+  test("emb_cosine_dedup: no cartesian product — SRP-bucketed equi-join") {
+    val plan = physical(Queries.embCosineDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in emb_cosine_dedup: ${plan.take(800)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in emb_cosine_dedup: ${plan.take(800)}")
+  }
+
+  test("dq_exact_dup: groupBy partial-agg plan, no window sort") {
+    val plan = physical(Queries.dqExactDup(spark, dir))
+    assert(!plan.contains("Window"), s"window in dq_exact_dup: ${plan.take(800)}")
+    assert(plan.contains("HashAggregate"), plan.take(400))
+  }
+
+  test("dq_profile restacks ONE aggregate scan (no per-column union of scans)") {
+    // the returned frame is the driver-side restack of a single multi-agg
+    // row — it must contain no parquet scan of its own
+    val plan = physical(Queries.dqProfile(spark, dir))
+    assert(!plan.contains("Scan parquet"), plan.take(400))
+    assert(plan.contains("LocalTableScan"), plan.take(400))
+  }
+
   test("whole-stage codegen covers the scalar feature expressions") {
     // NOTE: higher-order array functions (filter/transform/aggregate) are
     // interpreted in Spark — only scalar expression chains codegen. The

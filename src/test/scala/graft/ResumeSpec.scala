@@ -49,4 +49,32 @@ class ResumeSpec extends AnyFunSuite {
     assert(lineage.length == days.length)
     assert(lineage.forall(r => r.getAs[Long]("n_docs") > 0))
   }
+
+  test("stats-scope CONTRACT: checkpointer verdicts == per-day pipeline runs " +
+    "(pass-2 statistics are computed within each day partition)") {
+    // The documented contract (README / Checkpointer scaladoc): corpus
+    // statistics for pass-2 gates are PER-PARTITION, so a resumed run is
+    // bit-identical to a straight run regardless of where it crashed —
+    // the alternative (whole-corpus stats) would make every partition's
+    // verdicts depend on every other partition and break resume-without-
+    // recompute. This pins the choice explicitly.
+    import org.apache.spark.sql.functions._
+    val pages = PagesGen.generate(spark, 400, 4).toDF()
+      .withColumn("pdate", to_date(col("warc_ts")).cast("string"))
+      .filter(col("pdate").isin("2024-01-04", "2024-01-05"))
+      .cache()
+    val root = Files.createTempDirectory("graft-ckpt-contract").toString
+    Checkpointer.run(spark, pages.drop("pdate"), root)
+    val fromCkpt = Checkpointer.readVerdicts(spark, root)
+      .select("url", "rule").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val perDay = Seq("2024-01-04", "2024-01-05").map { d =>
+      graft.pipeline.QualityPipeline.run(
+          pages.filter(col("pdate") === d).drop("pdate"))
+        .verdicts.select("url", "rule").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }.reduce(_ union _)
+    assert(fromCkpt == perDay,
+      "checkpointer verdicts drifted from the per-day pipeline contract")
+  }
 }
