@@ -62,7 +62,8 @@ object DocStats {
     StructField("lang_score", DoubleType, nullable = false),
     StructField("perplexity", DoubleType, nullable = false),
     StructField("fingerprint", LongType, nullable = false),
-    StructField("minhash_sig", ArrayType(LongType, containsNull = true), nullable = false)
+    StructField("minhash_sig", ArrayType(LongType, containsNull = true), nullable = false),
+    StructField("band_keys", ArrayType(LongType, containsNull = false), nullable = false)
   ))
 
   val ShingleSize = 5
@@ -97,13 +98,81 @@ object DocStats {
       symbolRatio: java.lang.Double, stopwordRatio: java.lang.Double,
       toxicityHits: Int, nLines: Int, nDistinctLines: Int,
       dupLineRatio: Double, lang: String, langScore: Double,
-      perplexity: Double, fingerprint: Long, minhash: Array[java.lang.Long])
+      perplexity: Double, fingerprint: Long, minhash: Array[java.lang.Long]) {
+    /** LSH band keys over the signature — same formula as the composed
+      * [[Hashing.bandKeys]] (pmod rolling hash of each row group), but
+      * computed in a tight loop. The composed slice+aggregate HOFs are
+      * interpreted PER ELEMENT per band and measured ~190 s CPU at 300k
+      * docs — the single hottest non-kernel cost in the pipeline.
+      */
+    def bandKeysOf(bands0: Int, rowsPerBand: Int): Array[Any] = {
+      // never index past the signature (tests run narrow k for speed)
+      val bands = math.min(bands0, minhash.length / rowsPerBand)
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = 0L
+        var r = 0
+        while (r < rowsPerBand) {
+          val h = minhash(b * rowsPerBand + r)
+          val hv = if (h == null) 0L else h.longValue()
+          acc = java.lang.Math.floorMod(acc * 31L + hv, Hashing.P)
+          r += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      out
+    }
+  }
 
   // token membership by sorted-hash binary search: zero-alloc lookups
   private val stopHashes: Array[Long] =
     TextFns.StopwordsEn.map(w => fnv1a(w, 0, w.length)).sorted.toArray
   private val toxHashes: Array[Long] =
     TextFns.ToxicityLexicon.map(w => fnv1a(w, 0, w.length)).sorted.toArray
+
+  /** One-probe fused score table: trigram FNV → (logprob per language,
+    * LM logprob). The split per-language tables + LM map cost ~6 random
+    * memory probes per gram × ~1,300 grams/doc — the dominant kernel
+    * cost; this pays ONE. A language missing a gram stores that
+    * language's DEFAULT in its cell (no per-lang branch on the hit
+    * path); a +1.0 sentinel in the LM cell routes to the
+    * context-fallback (real logprobs are strictly negative). Cell values
+    * are the IDENTICAL doubles the split tables hold — scores match
+    * bit-for-bit (DocStatsSpec cross-validates against the String-keyed
+    * reference models).
+    */
+  private lazy val fusedTable: LongPayloadMap = {
+    val lidM = LangIdModel.model
+    val nLangs = lidM.langs.length
+    val grams = scala.collection.mutable.HashSet[String]()
+    lidM.logProb.foreach(hm => hm.keySet().forEach(g => grams += g))
+    CharLm.model.cnt.keySet().forEach(g => grams += g)
+    val t = new LongPayloadMap(grams.size, nLangs + 1)
+    grams.foreach { g =>
+      val off = t.slotFor(fnv1a(g, 0, g.length))
+      var l = 0
+      while (l < nLangs) {
+        val v = lidM.logProb(l).get(g)
+        t.values(off + l) =
+          if (v == null) lidM.defaultLogProb(l) else v.doubleValue()
+        l += 1
+      }
+      val c = CharLm.model.cnt.get(g)
+      t.values(off + nLangs) =
+        if (c == null) 1.0
+        else {
+          // same expression as CharLm.fastGramLogProb — identical doubles
+          val ctx = g.substring(0, CharLm.Order - 1)
+          val cc = CharLm.model.ctx.get(ctx)
+          val den = (if (cc == null) 0.0 else cc.doubleValue()) +
+            CharLm.Alpha * CharLm.model.vocab
+          math.log((c.doubleValue() + CharLm.Alpha) / den)
+        }
+    }
+    t
+  }
 
   /** String entry point (tests/micro-bench); dispatches like [[computeU]]. */
   def compute(text: String, minHashK: Int): Result = {
@@ -197,12 +266,14 @@ object DocStats {
       i += 1
     }
 
-    // --- langid + perplexity over norm trigrams, one zero-alloc loop ---
+    // --- langid + perplexity over norm trigrams: ONE probe per gram ---
+    val fused = fusedTable
+    val fvals = fused.values
     val lid = LangIdModel.fastModel
-    val lmGram = CharLm.fastGramLogProb
+    val dflts = lid.defaults
     val lmCtxDflt = CharLm.fastCtxDefaultLogProb
     val lmGlobalDflt = CharLm.globalDefaultLogProb
-    val nLangs = lid.langs.length
+    val nLangs = dflts.length
     val lidScores = new Array[Double](nLangs)
     var lmLogSum = 0.0
     var grams = 0
@@ -210,12 +281,16 @@ object DocStats {
       i = 0
       while (i + 3 <= m) {
         val gramHash = fnv1aB(norm, i, i + 3)
-        var l = 0
-        while (l < nLangs) {
-          lidScores(l) += lid.tables(l).getOrDefault(gramHash, lid.defaults(l))
-          l += 1
+        val off = fused.find(gramHash)
+        var lp = 1.0
+        if (off >= 0) {
+          var l = 0
+          while (l < nLangs) { lidScores(l) += fvals(off + l); l += 1 }
+          lp = fvals(off + nLangs)
+        } else {
+          var l = 0
+          while (l < nLangs) { lidScores(l) += dflts(l); l += 1 }
         }
-        var lp = lmGram.getOrDefault(gramHash, 1.0)
         if (lp > 0) {
           val ctxHash = fnv1aB(norm, i, i + 2)
           lp = lmCtxDflt.getOrDefault(ctxHash, lmGlobalDflt)
@@ -319,12 +394,14 @@ object DocStats {
       i += 1
     }
 
-    // --- langid + perplexity over norm trigrams ---
+    // --- langid + perplexity over norm trigrams: ONE probe per gram ---
+    val fused = fusedTable
+    val fvals = fused.values
     val lid = LangIdModel.fastModel
-    val lmGram = CharLm.fastGramLogProb
+    val dflts = lid.defaults
     val lmCtxDflt = CharLm.fastCtxDefaultLogProb
     val lmGlobalDflt = CharLm.globalDefaultLogProb
-    val nLangs = lid.langs.length
+    val nLangs = dflts.length
     val lidScores = new Array[Double](nLangs)
     var lmLogSum = 0.0
     var grams = 0
@@ -332,12 +409,16 @@ object DocStats {
       i = 0
       while (i + 3 <= m) {
         val gramHash = fnv1a(norm, i, i + 3)
-        var l = 0
-        while (l < nLangs) {
-          lidScores(l) += lid.tables(l).getOrDefault(gramHash, lid.defaults(l))
-          l += 1
+        val off = fused.find(gramHash)
+        var lp = 1.0
+        if (off >= 0) {
+          var l = 0
+          while (l < nLangs) { lidScores(l) += fvals(off + l); l += 1 }
+          lp = fvals(off + nLangs)
+        } else {
+          var l = 0
+          while (l < nLangs) { lidScores(l) += dflts(l); l += 1 }
         }
-        var lp = lmGram.getOrDefault(gramHash, 1.0)
         if (lp > 0) {
           val ctxHash = fnv1a(norm, i, i + 2)
           lp = lmCtxDflt.getOrDefault(ctxHash, lmGlobalDflt)
@@ -429,11 +510,13 @@ object DocStats {
     sig
   }
 
-  def docStats(c: Column, minHashK: Int): Column =
-    GraftExpr.column(DocStatsExpr(GraftExpr.expr(c), minHashK))
+  def docStats(c: Column, minHashK: Int, bands: Int = 8,
+               rowsPerBand: Int = 4): Column =
+    GraftExpr.column(DocStatsExpr(GraftExpr.expr(c), minHashK, bands, rowsPerBand))
 }
 
-case class DocStatsExpr(child: Expression, minHashK: Int)
+case class DocStatsExpr(child: Expression, minHashK: Int,
+                        bands: Int = 8, rowsPerBand: Int = 4)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DocStats.schema
   override def nullable: Boolean = child.nullable
@@ -444,7 +527,8 @@ case class DocStatsExpr(child: Expression, minHashK: Int)
       r.nChars, r.nWords, r.meanWordLen, r.symbolRatio, r.stopwordRatio,
       r.toxicityHits, r.nLines, r.nDistinctLines, r.dupLineRatio,
       UTF8String.fromString(r.lang), r.langScore, r.perplexity,
-      r.fingerprint, new GenericArrayData(r.minhash.asInstanceOf[Array[Any]]))
+      r.fingerprint, new GenericArrayData(r.minhash.asInstanceOf[Array[Any]]),
+      new GenericArrayData(r.bandKeysOf(bands, rowsPerBand)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): DocStatsExpr =

@@ -51,6 +51,18 @@ object Scrub {
 /** One-pass scrubber: compiles every pattern once per task (lazy vals are
   * per-deserialized-instance, i.e. per executor task closure, not per row)
   * and short-circuits allocation when nothing matches.
+  *
+  * Trigger prescan: one cheap byte pass decides which pattern families
+  * can possibly match — EMAIL needs an '@', SSN/PHONE/IP need a digit,
+  * TOX needs a lexicon word as a (case-insensitive) substring. The
+  * overwhelming majority of web documents carry none, so the common path
+  * runs ZERO regexes and never even materialises a String (the regex
+  * chain previously cost as much CPU as the entire fused feature kernel).
+  * The scan is CONSERVATIVE (byte-level, substring, no boundary checks):
+  * a trigger hit only means "run the real pattern", so the output is
+  * byte-identical to the plain chain — property-tested in ScrubSpec.
+  * Replacement tokens contain no '@', digits, or lexicon words, so a
+  * replacement can never create a trigger the prescan missed.
   */
 case class ScrubText(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -62,14 +74,52 @@ case class ScrubText(child: Expression)
       (java.util.regex.Pattern.compile(p), r)
     }.toArray
 
+  // lexicon as ASCII bytes for the byte-level prescan
+  @transient private lazy val toxBytes: Array[Array[Byte]] =
+    TextFns.ToxicityLexicon.map(
+      _.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+
   override def nullSafeEval(input: Any): Any = {
-    var s = input.asInstanceOf[UTF8String].toString
-    var changed = false
+    val u = input.asInstanceOf[UTF8String]
+    val b = u.getBytes
+    var hasAt = false; var hasDigit = false; var hasTox = false
     var i = 0
+    while (i < b.length && !(hasAt && hasDigit && hasTox)) {
+      val c = b(i)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      else if (!hasTox) {
+        val lc = (c | 0x20).toByte // ASCII lowercase; bytes ≥ 0x80 stay non-matching
+        var w = 0
+        while (w < toxBytes.length && !hasTox) {
+          val word = toxBytes(w)
+          if (lc == word(0) && i + word.length <= b.length) {
+            var j = 1
+            while (j < word.length && (b(i + j) | 0x20).toByte == word(j)) j += 1
+            if (j == word.length) hasTox = true
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    if (!hasAt && !hasDigit && !hasTox) return input
+
+    var s = u.toString
+    var changed = false
+    i = 0
     while (i < compiled.length) {
-      val (pat, rep) = compiled(i)
-      val m = pat.matcher(s)
-      if (m.find()) { s = m.replaceAll(rep); changed = true }
+      // 0=EMAIL('@'), 1=SSN, 2=PHONE, 3=IP (digits), 4=TOX (lexicon word)
+      val applicable = i match {
+        case 0 => hasAt
+        case 4 => hasTox
+        case _ => hasDigit
+      }
+      if (applicable) {
+        val (pat, rep) = compiled(i)
+        val m = pat.matcher(s)
+        if (m.find()) { s = m.replaceAll(rep); changed = true }
+      }
       i += 1
     }
     if (changed) UTF8String.fromString(s) else input

@@ -45,7 +45,8 @@ object QualityPipeline {
       minJaccard: Double = 0.80,         // near-dup verify threshold
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
-      saltBuckets: Int = 64)             // two-phase agg fan-out for skew
+      saltBuckets: Int = 64,             // two-phase agg fan-out for skew
+      maxDriverEdges: Long = 2000000L)   // components: driver union-find below, distributed cascade above
 
   val defaultConfig: Config = Config()
 
@@ -64,7 +65,8 @@ object QualityPipeline {
     // html is the raw payload (text extraction input) — nothing after the
     // feature stage reads it, and caching it would double the working set
     pages.drop("html")
-      .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")), cfg.minHashK))
+      .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")),
+        cfg.minHashK, cfg.bands, cfg.rowsPerBand))
       .withColumn("n_chars", col("__ds.n_chars"))
       .withColumn("n_words", col("__ds.n_words"))
       .withColumn("mean_word_len", col("__ds.mean_word_len"))
@@ -79,6 +81,7 @@ object QualityPipeline {
       .withColumn("perplexity", col("__ds.perplexity"))
       .withColumn("fingerprint", col("__ds.fingerprint"))
       .withColumn("minhash_sig", col("__ds.minhash_sig"))
+      .withColumn("band_keys", col("__ds.band_keys"))
       .drop("__ds")
 
   // ---------------------------------------------------------------------
@@ -134,34 +137,53 @@ object QualityPipeline {
     */
   def nearDupVerdicts(feat: DataFrame, cfg: Config,
                       bag: CacheBag = new CacheBag): DataFrame = {
-    val sigs = feat
+    // ALL LSH machinery runs in 8-byte uid space (xxhash64 of url): the
+    // exploded band rows and every join key would otherwise carry the
+    // ~60-byte url string — 3.5× the shuffle bytes for zero information
+    // (the url is only needed to EMIT verdicts, and is joined back once
+    // at the end over the tiny clustered set). Collision risk n²/2⁶⁵ is
+    // ~1e-7 at a 10⁹-doc day partition; a collision merges two docs'
+    // candidacy and is caught by the signature verify.
+    val eligible = feat
       .filter(col("text").isNotNull && col("n_words") >= lit(5))
-      .select(col("url"), col("minhash_sig"))
-    // candidate discovery shuffles ONLY (url, band, key) — never the
+      .select(col("url"), xxhash64(col("url")).as("uid"),
+        col("minhash_sig"), col("band_keys"))
+    val sigs = eligible.select(col("uid"), col("minhash_sig"))
+    // candidate discovery shuffles ONLY (uid, band, key) — never the
     // signature (the exploded bands would otherwise carry `bands` copies
-    // of every signature through the shuffle)
-    val bands = sigs
-      .select(col("url"),
-        explode(Hashing.bandKeys(col("minhash_sig"), cfg.bands, cfg.rowsPerBand)).as("b"))
-      .select(col("url"), col("b.band").as("band"), col("b.key").as("key"))
+    // of every signature through the shuffle). Band keys come PRECOMPUTED
+    // from the fused DocStats pass: the composed slice+aggregate version
+    // (Hashing.bandKeys, kept as the semantic reference) interprets its
+    // HOF lambdas per element and measured ~190 s CPU at 300k docs.
+    val bands = eligible
+      .select(col("uid"), posexplode(col("band_keys")).as(Seq("band", "key")))
     // HUB pairING, not all-pairs: each bucket member pairs with the
-    // bucket's min url only. An all-pairs self-join is O(|bucket|²) and a
+    // bucket's min uid only. An all-pairs self-join is O(|bucket|²) and a
     // single template-heavy bucket (boilerplate, shared page furniture)
-    // detonates it at web scale; the hub star gives O(|bucket|) pairs and
-    // — since the survivor of a near-dup cluster is its min url anyway —
-    // the same keep/drop decisions for clusters that share buckets.
+    // detonates it at web scale; the hub star gives O(|bucket|) pairs —
+    // the verified pairs then cluster transitively, and the SURVIVOR is
+    // chosen by min URL over the whole cluster at the end, so the hub
+    // choice only affects candidate discovery, never semantics.
     val hubs = bands.groupBy(col("band"), col("key"))
-      .agg(min(col("url")).as("hub"), count(lit(1)).as("__cnt"))
+      .agg(min(col("uid")).as("hub"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1) // singleton buckets can't pair
       .drop("__cnt")
     val pairs = bands.join(hubs, Seq("band", "key"))
-      .filter(col("url") =!= col("hub"))
-      .select(col("hub").as("url1"), col("url").as("url2"))
-      .dropDuplicates("url1", "url2")
-    // verify candidates: join signatures back (pairs ≪ corpus)
-    val withSigs = pairs
-      .join(sigs.select(col("url").as("url1"), col("minhash_sig").as("sig1")), Seq("url1"))
-      .join(sigs.select(col("url").as("url2"), col("minhash_sig").as("sig2")), Seq("url2"))
+      .filter(col("uid") =!= col("hub"))
+      .select(col("hub").as("uid1"), col("uid").as("uid2"))
+      .dropDuplicates("uid1", "uid2")
+    // verify candidates: join signatures back. The PAIRS side is
+    // broadcast — a shuffle join here moves the ENTIRE signature table
+    // (2 × corpus × sigBytes) to verify a candidate set that is orders of
+    // magnitude smaller; broadcasting the pairs keeps the signature scan
+    // partition-local with zero sig shuffle. (With AQE on, Spark reaches
+    // the same plan adaptively; the hint makes it deterministic. For a
+    // pathological pair explosion the LSH band width, not this join, is
+    // the knob that needs retuning.)
+    val p1 = sigs.select(col("uid").as("uid1"), col("minhash_sig").as("sig1"))
+      .join(broadcast(pairs), Seq("uid1"))
+    val withSigs = sigs.select(col("uid").as("uid2"), col("minhash_sig").as("sig2"))
+      .join(broadcast(p1), Seq("uid2"))
     val jac = withSigs.withColumn("jaccard",
       aggregate(zip_with(col("sig1"), col("sig2"),
         (a, b) => when(a === b, 1).otherwise(0)),
@@ -172,49 +194,135 @@ object QualityPipeline {
     // — a chain A~B~C where A and C share no bucket must still keep only
     // one survivor. Min-label propagation over the (tiny) verified edge
     // set; each member is dropped in favour of its cluster-min url.
-    val labels = connectedMin(jac.select(col("url1"), col("url2")), bag)
-    labels.filter(col("url") =!= col("label"))
+    //
+    // LINEAGE TRUNCATION (EAGER localCheckpoint): the label-propagation
+    // cascade and everything downstream (v1 → survivors → v2 → kept)
+    // re-reference this subtree many times; with the full LSH lineage
+    // attached, the logical plan nests multiplicatively and the
+    // analyzer/AQE-explain machinery OOMs building plan strings. The
+    // eager checkpoint runs the expensive LSH candidate+verify pipeline
+    // EXACTLY ONCE as one fully-parallel action and leaves a tiny
+    // block-backed leaf; everything derived from it is cheap enough to
+    // recompute, so the cascade needs no caches — and therefore has no
+    // cold-cache races (a LAZY checkpoint here let the propagation
+    // rounds' concurrent stages each recompute the whole LSH lineage:
+    // measured 4× wall). Same pattern as GraphX/GraphFrames iterative
+    // jobs; on a cluster, a lost executor costs a stage retry.
+    val verified = jac.select(col("uid1"), col("uid2"))
+      .localCheckpoint(true)
+    // scale-adaptive components (same spirit as AQE's broadcast decision):
+    // the verified edge set is materialised, so its size is KNOWN (count
+    // on the checkpointed leaf is ~free). Under the threshold, union-find
+    // on the driver costs milliseconds where the distributed cascade pays
+    // ~8 shuffle stages of pure scheduling overhead (measured 24 s wall
+    // at 32 threads for a 20k-edge graph); above it — genuinely web-scale
+    // duplication — the distributed cascade is the only shape that fits.
+    val labels =
+      if (verified.count() <= cfg.maxDriverEdges) {
+        // labels arrive as a LOCAL relation: already a plan leaf, no
+        // further checkpoint action needed
+        connectedMinDriver(verified)
+      } else {
+        // the finished cascade is checkpointed into a leaf: union
+        // flattening (Dataset.unionByName applies CombineUnions eagerly)
+        // splices pass-1 branches directly into every downstream plan, so
+        // a cache() on the union above this branch can never match —
+        // without the leaf, each downstream action re-runs the whole
+        // cascade (measured as a ~20-stage recompute storm per write job)
+        connectedMin(verified).localCheckpoint(true)
+      }
+    // back to url space: one broadcast join over the (tiny) clustered
+    // member set against the pruned (uid, url) feature scan — no shuffle.
+    // The cluster SURVIVOR is the min URL over the whole component
+    // (SURVEY §2.3 tie-break), computed here — so hub/uid choices above
+    // never leak into semantics.
+    val members = eligible.select(col("uid"), col("url"))
+      .join(broadcast(labels), Seq("uid"))
+    val survivors = members.groupBy(col("label"))
+      .agg(min(col("url")).as("keep_url"))
+    members.join(broadcast(survivors), Seq("label"))
+      .filter(col("url") =!= col("keep_url"))
       .select(col("url"), lit("near_dup").as("rule"),
         lit(false).as("keep"), lit(1.0).cast(DoubleType).as("score"),
-        col("label").cast("string").as("detail"))
+        col("keep_url").cast("string").as("detail"))
   }
 
-  /** Connected components by iterative min-label propagation:
-    * (url, label=min url of its component). The edge set is verified
-    * near-dup pairs — orders of magnitude smaller than the corpus — so a
-    * handful of tiny shuffles is cheap; iterations are bounded by the
-    * cluster diameter (near-dup clusters are dense star/clique-like
-    * shapes, diameter ≤ a few hops; hard cap 15 documents the contract).
+  /** Number of min-label propagation rounds = the maximum near-dup
+    * cluster DIAMETER resolved exactly. Real near-dup clusters are
+    * star/clique shaped (diameter ≤ 4); a pathological longer chain
+    * merely keeps one extra survivor — the same truncation contract as
+    * the reference MCL's iteration_limit
+    * (`/root/reference/src/markov_clustering.py:39`).
     */
-  private[graft] def connectedMin(pairs: DataFrame,
-                                  bag: CacheBag = new CacheBag): DataFrame = {
-    val edges = pairs.select(col("url1").as("a"), col("url2").as("b"))
-      .unionByName(pairs.select(col("url2").as("a"), col("url1").as("b")))
-      .distinct().cache()
-    var labels = edges.groupBy(col("a").as("url"))
-      .agg(least(min(col("b")), first(col("a"))).as("label")).cache()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 15) {
-      // propagate: my new label = min(my label, labels of my neighbors)
-      val next = edges
-        .join(labels.withColumnRenamed("url", "b").withColumnRenamed("label", "nl"), Seq("b"))
-        .groupBy(col("a").as("url")).agg(min(col("nl")).as("pl"))
-        .join(labels, Seq("url"))
-        .select(col("url"), least(col("label"), col("pl")).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("url"))
-        .filter(col("label") < col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+  val LabelRounds = 5
+
+  /** Connected components by min-label propagation, built as a fully LAZY
+    * plan of fixed depth: (url, label = min url of its component). A
+    * counted convergence loop would run one driver action per iteration —
+    * measured as serial wall on the run's critical path — so instead
+    * [[LabelRounds]] rounds resolve every component of diameter ≤
+    * LabelRounds with ZERO driver actions.
+    *
+    * Plan-size discipline: SELF-LOOPS are added to the edge set so each
+    * round is `min over neighbors∪self` = ONE join + ONE aggregate with a
+    * SINGLE reference to the previous round — the plan tree grows
+    * linearly in rounds. (The textbook `least(own, min(neighbors))` form
+    * references the previous labels twice per round: the logical tree
+    * doubles every round and the analyzer/treeString blow up
+    * exponentially once the pipeline nests it.)
+    *
+    * The edge set (verified near-dup pairs) is orders of magnitude
+    * smaller than the corpus and the caller hands it in as a checkpointed
+    * leaf, so NOTHING here is cached: recomputing the tiny cascade is
+    * cheaper than a cache that cold-concurrent stages would race.
+    */
+  private[graft] def connectedMin(pairs: DataFrame): DataFrame = {
+    val half = pairs.select(col("uid1").as("a"), col("uid2").as("b"))
+    val edges =
+      half
+        .unionByName(half.select(col("b").as("a"), col("a").as("b")))
+        .unionByName(half.select(col("a"), col("a").as("b")))   // self loops:
+        .unionByName(half.select(col("b").as("a"), col("b")))   // min includes own label
+        .distinct()
+    var labels = edges.groupBy(col("a").as("uid")).agg(min(col("b")).as("label"))
+    for (_ <- 1 to LabelRounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("uid", "b").withColumnRenamed("label", "nl"),
+          Seq("b"))
+        .groupBy(col("a").as("uid")).agg(min(col("nl")).as("label"))
     }
-    edges.unpersist()
-    // the final labels cache must OUTLIVE this call (the returned verdict
-    // view reads it until v1 is materialised) — the bag releases it
-    bag.track(labels)
     labels
+  }
+
+  /** Driver-side union-find over a SMALL verified edge set (counted ≤
+    * cfg.maxDriverEdges). Path-halving union-find is O(α·E); the result
+    * labels table is parallelized back out. Exactly equivalent to
+    * [[connectedMin]] on any diameter (no LabelRounds truncation).
+    */
+  private[graft] def connectedMinDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) {
+        val p = parent.get(r)
+        val gp = parent.getOrDefault(p, p)
+        parent.put(r, gp) // path halving
+        r = gp
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    // the label is only a component id — the survivor is picked by min
+    // URL downstream, so root choice carries no semantics
+    val labels = nodes.iterator.map(n => (n, find(n))).toSeq
+    spark.createDataset(labels).toDF("uid", "label")
   }
 
   def pass1(feat: DataFrame, cfg: Config = defaultConfig,
@@ -333,21 +441,21 @@ object QualityPipeline {
     // recomputes the feature projection (observed 2× wall at high
     // parallelism from duplicate work + memory-store contention)
     feat.count()
-    // verdicts are tiny relative to pages — caching v1 (and the url-only
-    // drop-set) means neither the dedup joins nor pass-1 re-run for any
-    // downstream action (pass-2 stats, kept build, verdict write)
-    val v1 = bag.track(pass1(feat, cfg, bag).cache())
-    val dropped1 = bag.track(v1.select("url").distinct().cache())
+    // VERDICT SETS ARE LEAVES, NOT CACHES. unionByName flattens unions
+    // eagerly, so a downstream plan never contains the v1/v2 union node
+    // and a cache() on either can never be matched (measured: every
+    // write job re-ran all 10 pass-1 branches AND 5 pass-2 branches —
+    // ~10 redundant 300-task scans of the feature cache per run). The
+    // verdict sets are tiny (url + rule rows), so an eager localCheckpoint
+    // materialises each ONCE — over the warm feat cache, branches running
+    // fully parallel inside one job — and every downstream consumer
+    // (survivor anti-joins, writes, metrics) reads a block-backed leaf.
+    val v1 = pass1(feat, cfg, bag).localCheckpoint(true)
+    val dropped1 = v1.select("url").distinct()
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
-    // pass-2's single stats-agg action (inside pass2Impl) materialises
-    // the v1/dropped1 caches through the survivor anti-join lineage — a
-    // separate dropped1.count() barrier here was pure serial driver
-    // latency (one full job round-trip on the critical path)
     val (v2raw, statCols) = pass2Impl(survivors, cfg)
     bag.track(statCols)
-    // v2 is small; caching it keeps the kept-build and the verdict write
-    // from re-running the pass-2 group joins
-    val v2 = bag.track(v2raw.cache())
+    val v2 = v2raw.localCheckpoint(true)
     val verdicts = v1.unionByName(v2)
     val scrub: Column => Column =
       if (fusedScrub) Scrub.scrubFused else Scrub.scrubCol

@@ -109,6 +109,19 @@ class DocStatsSpec extends AnyFunSuite {
     assert(s2.forall(_ == null))
   }
 
+  test("fused band_keys equal the composed Hashing.bandKeys reference") {
+    val df = samples.filter(_.nonEmpty).toDF("t")
+      .select(DocStats.docStats(col("t"), 32, 8, 4).as("d"))
+      .select(col("d.minhash_sig").as("sig"), col("d.band_keys").as("fused"))
+      .withColumn("composed",
+        transform(graft.functions.Hashing.bandKeys(col("sig"), 8, 4),
+          s => s.getField("key")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"band keys fork: fused=${r.getSeq[Long](1)} composed=${r.getSeq[Long](2)}")
+    }
+  }
+
   test("fingerprint is whitespace/case-normalised") {
     val two = Seq("The  Quick\nBrown", "the quick brown")
       .toDF("t").select(DocStats.docStats(col("t"), 4).as("d")).collect()

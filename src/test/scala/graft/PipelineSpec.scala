@@ -130,14 +130,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.contains("empty"))
   }
 
-  test("connectedMin: transitive chains collapse to the component-min label") {
+  test("connectedMin + driver union-find: transitive chains collapse to one component") {
     import spark.implicits._
-    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
-      .toDF("url1", "url2")
-    val labels = QualityPipeline.connectedMin(pairs).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
-      "x" -> "x", "y" -> "x"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("uid1", "uid2")
+    val dist = QualityPipeline.connectedMin(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the driver path must produce identical components
+    val drv = QualityPipeline.connectedMinDriver(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == dist)
   }
 
   test("near-dup transitivity: A~B~C chain where A~C cannot verify directly " +
