@@ -381,7 +381,7 @@ object Queries {
 
   val dqCompleteness: (SparkSession, String) => DataFrame = (s, dir) =>
     docs(s, dir)
-      .withColumn("n_words", TextFns.wordCount(col("text")).cast(LongType))
+      .withColumn("n_words", TextFns.wordCountFast(col("text")).cast(LongType))
       .filter(col("text").isNull || col("n_words") < 40)
       .select(col("doc_id"), lit("empty").as("rule"), col("n_words"))
       .orderBy("doc_id")
@@ -461,7 +461,7 @@ object Queries {
     */
   val dqTendency: (SparkSession, String) => DataFrame = (s, dir) => {
     val d = docs(s, dir)
-      .withColumn("n_words", TextFns.wordCount(col("text")).cast(LongType))
+      .withColumn("n_words", TextFns.wordCountFast(col("text")).cast(LongType))
     val st = d.agg((sum((col("n_chars") < lit(8) * col("n_words")).cast(LongType))
       .cast(DoubleType) / count(lit(1))).as("p"))
     d.crossJoin(broadcast(st))
@@ -803,8 +803,7 @@ object Queries {
     val aug = e.unionByName(e.filter(col("id") % 50 === 0)
       .select((col("id") + 1000000L).as("id"), col("vec")))
     val sigs = aug.select(col("id"),
-        explode(Ann.srpSignatures(col("vec"), 64, 8, 12)).as("tb"))
-      .select(col("id"), col("tb.table").as("t"), col("tb.bucket").as("bkt"))
+        posexplode(Ann.srpBuckets(col("vec"), 64, 8, 12)).as(Seq("t", "bkt")))
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))

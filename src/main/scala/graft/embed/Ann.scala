@@ -59,8 +59,12 @@ object Ann {
     }
   }
 
-  /** Array of per-table SRP bucket signatures for a vector column. */
-  def srpSignatures(vec: Column, dim: Int, nBits: Int, tables: Int): Column = {
+  /** Array of per-table SRP bucket signatures for a vector column
+    * (composed Column reference — kept for cross-validation; the
+    * interpreted zip_with/aggregate lambdas cost ~tables×nBits×dim HOF
+    * evaluations per vector).
+    */
+  def srpSignaturesComposed(vec: Column, dim: Int, nBits: Int, tables: Int): Column = {
     val planes = hyperplanes(dim, nBits, tables)
     array(planes.zipWithIndex.map { case (tbl, t) =>
       val sig = tbl.zipWithIndex.map { case (p, b) =>
@@ -72,6 +76,16 @@ object Ann {
       struct(lit(t).as("table"), sig.as("bucket"))
     }: _*)
   }
+
+  /** Fused SRP buckets: array<long> of length `tables`, element t = the
+    * nBits-bit bucket of table t (index IS the table id — pair them with
+    * `posexplode`). One tight loop per vector instead of
+    * tables×nBits×dim interpreted HOF evaluations; AnnSpec asserts
+    * equality with [[srpSignaturesComposed]].
+    */
+  def srpBuckets(vec: Column, dim: Int, nBits: Int, tables: Int): Column =
+    graft.functions.GraftExpr.column(SrpBucketsExpr(
+      graft.functions.GraftExpr.expr(vec), dim, nBits, tables))
 
   /** Signature width sized to the corpus: buckets/table = 2^nBits, so
     * expected occupancy = n / 2^nBits. A FIXED nBits is a fixture-sized
@@ -105,10 +119,9 @@ object Ann {
               excludeSelf: Boolean = true,
               multiProbe: Boolean = false): DataFrame = {
     def withBuckets(df: DataFrame, vecCol: String) =
-      df.withColumn("tb", explode(srpSignatures(col(vecCol), dim, nBits, tables)))
-        .withColumn("table", col("tb.table"))
-        .withColumn("bucket", col("tb.bucket"))
-        .drop("tb")
+      df.select(df.columns.map(col) :+
+        posexplode(srpBuckets(col(vecCol), dim, nBits, tables))
+          .as(Seq("table", "bucket")): _*)
     val cb = withBuckets(corpus, "vec")
     val qb0 = withBuckets(queries, "qvec")
     val qb =
@@ -129,4 +142,64 @@ object Ann {
       .filter(col("rank") <= k)
       .select("qid", "id", "cos", "rank")
   }
+}
+
+/** Fused SRP bucketing: one pass over the vector computes every table's
+  * bucket. Mirrors the composed reference's null semantics: a vector
+  * whose length ≠ dim yields all-zero buckets (the composed zip_with
+  * null-pads and the null dot product sets no bits).
+  */
+case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                          dim: Int, nBits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val planes = Ann.hyperplanes(dim, nBits, tables)
+  @transient private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](tables)
+    if (n != dim) {
+      var t = 0
+      while (t < tables) { out(t) = 0L; t += 1 }
+      return new GenericArrayData(out)
+    }
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var t = 0
+    while (t < tables) {
+      val tbl = planes(t)
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = tbl(b)
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += v(j) * p(j); j += 1 }
+        if (d >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SrpBucketsExpr =
+    copy(child = newChild)
 }

@@ -168,10 +168,87 @@ object QualityPipeline {
       .agg(min(col("uid")).as("hub"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1) // singleton buckets can't pair
       .drop("__cnt")
+    // LINEAGE TRUNCATION (EAGER localCheckpoint): everything downstream
+    // (verify, components, v1 → survivors → v2 → kept) re-references this
+    // subtree many times; with the full LSH lineage attached, the logical
+    // plan nests multiplicatively and the analyzer/AQE-explain machinery
+    // OOMs building plan strings. The eager checkpoint runs the expensive
+    // LSH candidate pipeline EXACTLY ONCE as one fully-parallel action and
+    // leaves a tiny block-backed leaf. (A LAZY checkpoint here let
+    // concurrent downstream stages race-recompute the whole LSH lineage:
+    // measured 4× wall.) Same pattern as GraphX/GraphFrames iterative
+    // jobs; on a cluster, a lost executor costs a stage retry.
     val pairs = bands.join(hubs, Seq("band", "key"))
       .filter(col("uid") =!= col("hub"))
       .select(col("hub").as("uid1"), col("uid").as("uid2"))
       .dropDuplicates("uid1", "uid2")
+      .localCheckpoint(true)
+    // scale-adaptive verify + clustering (same spirit as AQE's broadcast
+    // decision — the candidate set is materialised so its size is KNOWN):
+    //  - below the threshold, signature verify, transitive components and
+    //    min-url survivor selection all run on the DRIVER from ONE scan
+    //    that fetches the candidates' (url, sig) rows — the distributed
+    //    formulation pays ~5 sequential jobs and 3 broadcast builds of
+    //    pure coordination for a pair set that fits in a few MB;
+    //  - above it — genuinely web-scale duplication — the distributed
+    //    chain (broadcast verify joins, min-label cascade) is the only
+    //    shape that fits.
+    if (pairs.count() <= cfg.maxDriverEdges) nearDupDriverVerify(eligible, pairs, cfg)
+    else nearDupDistributedVerify(eligible, sigs, pairs, cfg)
+  }
+
+  /** Driver path: one cluster scan collects the candidate docs'
+    * (uid, url, sig); jaccard verify + union-find + min-url survivors run
+    * locally; verdicts return as a LOCAL relation (already a plan leaf).
+    * Verify semantics are IDENTICAL to the Column formula:
+    * (#equal signature positions)/k ≥ minJaccard.
+    */
+  private def nearDupDriverVerify(eligible: DataFrame, pairs: DataFrame,
+                                  cfg: Config): DataFrame = {
+    val spark = eligible.sparkSession
+    import spark.implicits._
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val uids = pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val uidDf = spark.createDataset(uids.toSeq).toDF("uid")
+    val members = eligible.select(col("uid"), col("url"), col("minhash_sig"))
+      .join(broadcast(uidDf), Seq("uid"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[java.lang.Long](2)))
+      .toMap
+    def estJaccard(a: Seq[java.lang.Long], b: Seq[java.lang.Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < cfg.minHashK) {
+        // mirror the Column formula: null positions never count as equal
+        if (a(i) != null && a(i) == b(i)) eq += 1
+        i += 1
+      }
+      eq.toDouble / cfg.minHashK
+    }
+    val verifiedEdges = pairRows.filter { case (u1, u2) =>
+      (members.get(u1), members.get(u2)) match {
+        case (Some((_, s1)), Some((_, s2))) => estJaccard(s1, s2) >= cfg.minJaccard
+        case _ => false
+      }
+    }
+    val find = unionFindLocal(verifiedEdges)
+    val clustered = verifiedEdges.iterator
+      .flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
+    val byLabel = clustered.groupBy(find)
+    val verdicts = byLabel.values.toSeq.flatMap { comp =>
+      val urls = comp.map(u => members(u)._1)
+      val keep = urls.min
+      urls.filter(_ != keep).map(u => (u, "near_dup", false, 1.0, keep))
+    }
+    spark.createDataset(verdicts)
+      .toDF("url", "rule", "keep", "score", "detail")
+  }
+
+  /** Distributed path (web-scale pair counts): broadcast verify joins,
+    * min-label cascade, min-url survivor resolution.
+    */
+  private def nearDupDistributedVerify(eligible: DataFrame, sigs: DataFrame,
+                                       pairs: DataFrame, cfg: Config): DataFrame = {
     // verify candidates: join signatures back. The PAIRS side is
     // broadcast — a shuffle join here moves the ENTIRE signature table
     // (2 × corpus × sigBytes) to verify a candidate set that is orders of
@@ -192,45 +269,15 @@ object QualityPipeline {
     // transitive closure over the verified pairs: the reference's MCL
     // yields TRANSITIVE clusters (/root/reference/src/markov_clustering.py:58-73)
     // — a chain A~B~C where A and C share no bucket must still keep only
-    // one survivor. Min-label propagation over the (tiny) verified edge
-    // set; each member is dropped in favour of its cluster-min url.
-    //
-    // LINEAGE TRUNCATION (EAGER localCheckpoint): the label-propagation
-    // cascade and everything downstream (v1 → survivors → v2 → kept)
-    // re-reference this subtree many times; with the full LSH lineage
-    // attached, the logical plan nests multiplicatively and the
-    // analyzer/AQE-explain machinery OOMs building plan strings. The
-    // eager checkpoint runs the expensive LSH candidate+verify pipeline
-    // EXACTLY ONCE as one fully-parallel action and leaves a tiny
-    // block-backed leaf; everything derived from it is cheap enough to
-    // recompute, so the cascade needs no caches — and therefore has no
-    // cold-cache races (a LAZY checkpoint here let the propagation
-    // rounds' concurrent stages each recompute the whole LSH lineage:
-    // measured 4× wall). Same pattern as GraphX/GraphFrames iterative
-    // jobs; on a cluster, a lost executor costs a stage retry.
+    // one survivor. The finished cascade is checkpointed into a leaf:
+    // union flattening (Dataset.unionByName applies CombineUnions
+    // eagerly) splices pass-1 branches directly into every downstream
+    // plan, so a cache() on the union above this branch can never match —
+    // without the leaf, each downstream action re-runs the whole cascade
+    // (measured as a ~20-stage recompute storm per write job).
     val verified = jac.select(col("uid1"), col("uid2"))
       .localCheckpoint(true)
-    // scale-adaptive components (same spirit as AQE's broadcast decision):
-    // the verified edge set is materialised, so its size is KNOWN (count
-    // on the checkpointed leaf is ~free). Under the threshold, union-find
-    // on the driver costs milliseconds where the distributed cascade pays
-    // ~8 shuffle stages of pure scheduling overhead (measured 24 s wall
-    // at 32 threads for a 20k-edge graph); above it — genuinely web-scale
-    // duplication — the distributed cascade is the only shape that fits.
-    val labels =
-      if (verified.count() <= cfg.maxDriverEdges) {
-        // labels arrive as a LOCAL relation: already a plan leaf, no
-        // further checkpoint action needed
-        connectedMinDriver(verified)
-      } else {
-        // the finished cascade is checkpointed into a leaf: union
-        // flattening (Dataset.unionByName applies CombineUnions eagerly)
-        // splices pass-1 branches directly into every downstream plan, so
-        // a cache() on the union above this branch can never match —
-        // without the leaf, each downstream action re-runs the whole
-        // cascade (measured as a ~20-stage recompute storm per write job)
-        connectedMin(verified).localCheckpoint(true)
-      }
+    val labels = connectedMin(verified).localCheckpoint(true)
     // back to url space: one broadcast join over the (tiny) clustered
     // member set against the pruned (uid, url) feature scan — no shuffle.
     // The cluster SURVIVOR is the min URL over the whole component
@@ -299,10 +346,10 @@ object QualityPipeline {
     * labels table is parallelized back out. Exactly equivalent to
     * [[connectedMin]] on any diameter (no LabelRounds truncation).
     */
-  private[graft] def connectedMinDriver(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Path-halving union-find over local edges; the returned function maps
+    * a node to its component's min node.
+    */
+  private def unionFindLocal(edges: Array[(Long, Long)]): Long => Long = {
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     def find(x: Long): Long = {
       var r = x
@@ -318,6 +365,14 @@ object QualityPipeline {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
     }
+    find
+  }
+
+  private[graft] def connectedMinDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val find = unionFindLocal(edges)
     val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
     // the label is only a component id — the survivor is picked by min
     // URL downstream, so root choice carries no semantics

@@ -62,6 +62,22 @@ class AnnSpec extends AnyFunSuite {
     assert(approx.forall { case (q, i) => q != i })
   }
 
+  test("fused srpBuckets equal the composed reference (and mismatched dim → 0)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(100)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val both = e.select(
+      Ann.srpBuckets(col("vec"), 64, 6, 4).as("fused"),
+      transform(Ann.srpSignaturesComposed(col("vec"), 64, 6, 4),
+        s => s.getField("bucket")).as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // wrong-dim vector → all-zero buckets on both paths
+    val bad = Seq(Seq(1.0f, 2.0f)).toDF("vec").select(
+      Ann.srpBuckets(col("vec"), 64, 6, 4).as("fused"))
+    assert(bad.head().getSeq[Long](0).forall(_ == 0L))
+  }
+
   test("autoNBits sizes buckets to the corpus (occupancy ≈ targetBucket)") {
     // buckets/table = 2^nBits ⇒ expected occupancy n/2^nBits ≤ target
     assert(Ann.autoNBits(2000, 64) == 5) //  2k/32  = 62 ≤ 64
