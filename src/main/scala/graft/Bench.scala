@@ -47,6 +47,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // session warmup (codegen, parquet footers, scheduler) so the
+    // alphabetically-first query doesn't absorb ~4 s of one-time cost
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timeIt(fn(spark, sfDir).write.mode("overwrite")
         .format("noop").save())

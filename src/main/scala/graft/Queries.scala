@@ -482,19 +482,24 @@ object Queries {
   // Text analysis (heuristics, langid, token counting, fingerprint)
   // ======================================================================
 
-  val dqHeuristics: (SparkSession, String) => DataFrame = (s, dir) => {
-    val t = col("text")
-    docs(s, dir).select(
+  val dqHeuristics: (SparkSession, String) => DataFrame = (s, dir) =>
+    // the fused DocStats kernel supplies the features: its counts are the
+    // SAME integers as the composed TextFns columns (DocStatsSpec pins
+    // equality incl. non-ASCII), so the divisions and 6-dp roundings are
+    // bit-identical to the oracle — and the interpreted HOF pipeline
+    // (ratio lambdas per token) drops out of the plan
+    docs(s, dir)
+      .withColumn("__ds", graft.functions.DocStats.docStats(col("text"), 4))
+      .select(
         col("doc_id"),
-        TextFns.wordCount(t).cast(LongType).as("n_words"),
-        round(TextFns.symbolRatio(t), 6).as("symbol_ratio"),
-        round(TextFns.stopwordRatio(t), 6).as("stopword_ratio"),
-        round(TextFns.meanWordLen(t), 6).as("mean_word_len"))
+        col("__ds.n_words").cast(LongType).as("n_words"),
+        round(col("__ds.symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("__ds.stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("__ds.mean_word_len"), 6).as("mean_word_len"))
       .withColumn("keep",
         col("n_words") >= 30 && col("symbol_ratio") <= 0.1 &&
           col("mean_word_len").between(2.0, 12.0))
       .orderBy("doc_id")
-  }
 
   val dqHeuristicsSql: String = {
     val sw = Frag.stopHits("text", TextFns.StopwordsEn)
@@ -571,6 +576,60 @@ object Queries {
        | md5(${Frag.norm("text")}) AS fp_md5,
        | ${Frag.md5Long(Frag.norm("text"))} AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Typo detection + correction suggestions (C2 + C7,
+    * `/root/reference/src/typo.py:60-119`, `src/utils.py:237-266`): a
+    * token is a suspected typo when it is RARE (count ≤ 2) inside a
+    * character-similarity cluster whose most frequent member is POPULAR
+    * (count ≥ 10) — "rare variant of a popular spelling" — and the
+    * suggestions are the cluster's top-3 members by frequency. The
+    * reference clusters by O(U²) pairwise string similarity; the
+    * SQL-portable, shuffle-friendly analogue is a deterministic cluster
+    * KEY (first char + last char + length — catches substitutions and
+    * transpositions in the middle of the word), which keeps the whole
+    * operator two groupBys and one bounded window.
+    */
+  val dqTypoSuggest: (SparkSession, String) => DataFrame = (s, dir) => {
+    val toks = docs(s, dir)
+      .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 3)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("ck", concat(
+        substring(col("tok"), 1, 1),
+        substr(col("tok"), length(col("tok")), lit(1)),
+        length(col("tok"))))
+    val w = Window.partitionBy(col("ck")).orderBy(col("cnt").desc, col("tok"))
+    val ranked = vocab.withColumn("rn", row_number().over(w))
+    val sugg = ranked.filter(col("rn") <= 3)
+      .groupBy(col("ck"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("tok")))),
+        x => x.getField("tok")), ",").as("suggestions"))
+    val cstat = vocab.groupBy(col("ck")).agg(max(col("cnt")).as("max_cnt"))
+    vocab.join(cstat, Seq("ck")).join(sugg, Seq("ck"))
+      .filter(col("cnt") <= 2 && col("max_cnt") >= 10)
+      .select(col("tok"), col("cnt"), col("ck"), col("suggestions"))
+      .orderBy("tok")
+  }
+
+  val dqTypoSuggestSql: String = {
+    val toksLower = Frag.toks("lower(text)")
+    s"""WITH toks AS (
+       |  SELECT unnest($toksLower) AS tok FROM documents
+       |), t2 AS (SELECT tok FROM toks WHERE length(tok) >= 3),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+       |v2 AS (SELECT tok, cnt,
+       |  concat(substr(tok, 1, 1), substr(tok, length(tok), 1), length(tok)) AS ck
+       | FROM vocab),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY ck ORDER BY cnt DESC, tok) AS rn FROM v2),
+       |sugg AS (SELECT ck, string_agg(tok, ',' ORDER BY rn) AS suggestions
+       |         FROM ranked WHERE rn <= 3 GROUP BY ck),
+       |cstat AS (SELECT ck, max(cnt) AS max_cnt FROM v2 GROUP BY ck)
+       |SELECT v2.tok, v2.cnt, v2.ck, sugg.suggestions
+       |FROM v2 JOIN cstat USING (ck) JOIN sugg USING (ck)
+       |WHERE v2.cnt <= 2 AND cstat.max_cnt >= 10
+       |ORDER BY v2.tok""".stripMargin
+  }
 
   // ======================================================================
   // Scrub (PII/toxicity) — patterns interpolated from Scrub.Patterns
@@ -877,6 +936,7 @@ object Queries {
     "dq_langid" -> dqLangId,
     "dq_token_count" -> dqTokenCount,
     "dq_fingerprint" -> dqFingerprint,
+    "dq_typo_suggest" -> dqTypoSuggest,
     "dq_scrub" -> dqScrub,
     "emb_knn" -> embKnn,
     "emb_ann_lsh" -> embAnnLsh,
@@ -910,6 +970,7 @@ object Queries {
     "dq_langid" -> dqLangIdSql,
     "dq_token_count" -> dqTokenCountSql,
     "dq_fingerprint" -> dqFingerprintSql,
+    "dq_typo_suggest" -> dqTypoSuggestSql,
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
     // emb_ann_lsh, mm_frame_sample: intentionally no oracle
