@@ -577,6 +577,36 @@ object Queries {
        | ${Frag.md5Long(Frag.norm("text"))} AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-document numeric outlier SCORE (C9 analogue,
+    * `/root/reference/src/improve_data_quality.py:482-528`): the
+    * reference returns LOF scores normalized to [0,1]; the distributable
+    * analogue is the |z|-score of the numeric feature against corpus
+    * moments, normalized by the corpus max — a per-doc score column, not
+    * just a keep/drop flag. Two tiny aggregates + one narrow projection;
+    * no kNN graph (LOF's kNN is the part that cannot shard).
+    */
+  val dqOutlierScore: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = docs(s, dir)
+    val st = d.agg(
+      avg(col("n_chars").cast(DoubleType)).as("m"),
+      stddev_samp(col("n_chars").cast(DoubleType)).as("sd"))
+    val z = d.crossJoin(broadcast(st))
+      .withColumn("az", abs(col("n_chars") - col("m")) / col("sd"))
+    val mx = z.agg(max(col("az")).as("mz"))
+    z.crossJoin(broadcast(mx))
+      .select(col("doc_id"),
+        round(col("az"), 6).as("abs_z"),
+        round(col("az") / col("mz"), 6).as("outlier_score"))
+      .orderBy("doc_id")
+  }
+
+  val dqOutlierScoreSql: String =
+    """WITH s AS (SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS sd FROM documents),
+      |z AS (SELECT doc_id, abs(n_chars - s.m) / s.sd AS az FROM documents, s),
+      |mx AS (SELECT max(az) AS mz FROM z)
+      |SELECT doc_id, round(az, 6) AS abs_z, round(az / mx.mz, 6) AS outlier_score
+      |FROM z, mx ORDER BY doc_id""".stripMargin
+
   /** Typo detection + correction suggestions (C2 + C7,
     * `/root/reference/src/typo.py:60-119`, `src/utils.py:237-266`): a
     * token is a suspected typo when it is RARE (count ≤ 2) inside a
@@ -937,6 +967,7 @@ object Queries {
     "dq_token_count" -> dqTokenCount,
     "dq_fingerprint" -> dqFingerprint,
     "dq_typo_suggest" -> dqTypoSuggest,
+    "dq_outlier_score" -> dqOutlierScore,
     "dq_scrub" -> dqScrub,
     "emb_knn" -> embKnn,
     "emb_ann_lsh" -> embAnnLsh,
@@ -971,6 +1002,7 @@ object Queries {
     "dq_token_count" -> dqTokenCountSql,
     "dq_fingerprint" -> dqFingerprintSql,
     "dq_typo_suggest" -> dqTypoSuggestSql,
+    "dq_outlier_score" -> dqOutlierScoreSql,
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
     // emb_ann_lsh, mm_frame_sample: intentionally no oracle
