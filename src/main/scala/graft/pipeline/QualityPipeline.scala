@@ -124,10 +124,11 @@ object QualityPipeline {
   /** Exact dedup on the 60-bit content fingerprint: shuffle carries
     * (url, fingerprint) only. keep='first' ⇒ min url (SURVEY §2.3).
     */
-  def exactDupVerdicts(feat: DataFrame): DataFrame =
+  def exactDupVerdicts(feat: DataFrame,
+                       cfg: Config = defaultConfig): DataFrame =
     Rules.exactDup(
       feat.filter(col("text").isNotNull && col("n_chars") > 0),
-      col("url"), col("fingerprint"))
+      col("url"), col("fingerprint"), cfg.saltBuckets)
 
   /** Near-dup via MinHash + LSH banding: docs sharing any band bucket are
     * candidates; candidates are verified by signature-estimated Jaccard;
@@ -383,7 +384,7 @@ object QualityPipeline {
   def pass1(feat: DataFrame, cfg: Config = defaultConfig,
             bag: CacheBag = new CacheBag): DataFrame =
     heuristicVerdicts(feat, cfg)
-      .unionByName(exactDupVerdicts(feat))
+      .unionByName(exactDupVerdicts(feat, cfg))
       .unionByName(nearDupVerdicts(feat, cfg, bag))
 
   // ---------------------------------------------------------------------

@@ -31,22 +31,41 @@ object Rules {
     * (`improve_data_quality.py:286-298`): all-but-first occurrence of
     * identical content is flagged, "first" = smallest key (pandas file
     * order has no distributed analogue; SURVEY §2.3 fixes the tie-break
-    * to key asc). Implemented as a window over a CONTENT HASH, not the
-    * content itself — at 100 TB the shuffle must carry (key, 8-byte hash),
-    * never the document body.
+    * to key asc). Implemented over a CONTENT HASH, not the content
+    * itself — at 100 TB the shuffle must carry (key, 8-byte hash), never
+    * the document body.
+    *
+    * Skew (north rule: "salted-key repartitioning to defuse host-level
+    * skew"): the AGGREGATION is already skew-proof — map-side partial
+    * aggregation means the shuffle carries (hash, min, count) per
+    * distinct hash per input partition, however duplicated a document
+    * is. The JOIN-BACK is the skew point: a mega-duplicated document
+    * (a boilerplate page mirrored 10⁷×) puts every one of its rows in
+    * ONE join partition. With `saltBuckets` > 1 the (small) duplicate-
+    * groups side is replicated per salt value and each fact row joins on
+    * (hash, salt-of-its-key), spreading a hot hash over `saltBuckets`
+    * partitions. Output is identical for any saltBuckets (RulesSpec
+    * property-checks salted == unsalted).
     */
-  def exactDup(df: DataFrame, key: Column, contentHash: Column): DataFrame = {
+  def exactDup(df: DataFrame, key: Column, contentHash: Column,
+               saltBuckets: Int = 1): DataFrame = {
     val hashed = df.select(key.as("url"), contentHash.as("__h"))
     // groupBy + join-back instead of a window: the aggregation combines
-    // map-side (shuffle carries (hash, min, count) per distinct hash, not
-    // every row) and avoids the window's full sort
+    // map-side and avoids the window's full sort
     val groups = hashed.groupBy(col("__h"))
       .agg(min(col("url")).as("__first"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
-    val flagged = hashed.join(groups, Seq("__h"))
-      .filter(col("url") =!= col("__first"))
-    verdict(flagged, col("url"), "duplication",
-      lit(1.0), col("__first"))
+    val flagged =
+      if (saltBuckets <= 1) hashed.join(groups, Seq("__h"))
+      else {
+        val salted = hashed.withColumn("__salt",
+          pmod(xxhash64(col("url")), lit(saltBuckets.toLong)))
+        val saltedGroups = groups.withColumn("__salt",
+          explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+        salted.join(saltedGroups, Seq("__h", "__salt"))
+      }
+    verdict(flagged.filter(col("url") =!= col("__first")),
+      col("url"), "duplication", lit(1.0), col("__first"))
   }
 
   /** Z-score extremes (`utils.py:190-232`). The reference's quirk is kept:

@@ -25,6 +25,33 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Streaming quality scoring over a pages directory: the fused feature
+    * projection and the pass-1 per-row heuristic rules are STATELESS
+    * narrow transforms, so they run unchanged under Structured Streaming
+    * — a crawl-delta directory streams straight into per-document
+    * verdicts. (Dedup and pass-2 corpus statistics are inherently
+    * cross-document; in a streaming deployment they run as the
+    * checkpointed batch pass over each closed ingest window — exactly
+    * the Checkpointer's per-day contract.) StreamingSpec asserts the
+    * streamed verdicts equal the batch heuristic verdicts on the same
+    * pages.
+    */
+  def heuristicVerdictStream(spark: SparkSession, sourceDir: String,
+                             queryName: String): StreamingQuery = {
+    val pages = spark.readStream
+      .schema(graft.model.Page.schema)
+      .parquet(sourceDir)
+    val feat = graft.pipeline.QualityPipeline.features(pages)
+    graft.pipeline.QualityPipeline
+      .heuristicVerdicts(feat, graft.pipeline.QualityPipeline.defaultConfig)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming variant: same aggregation with a 2-hour watermark. */
   def windowedCountsStream(spark: SparkSession, sourceDir: String,
                            schemaFrom: DataFrame,

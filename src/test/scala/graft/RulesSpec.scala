@@ -30,6 +30,24 @@ class RulesSpec extends AnyFunSuite {
     assert(v.forall(_.getAs[String]("detail") == "u1"))
   }
 
+  test("exactDup: salted join-back == unsalted on a hot-key corpus") {
+    // a mega-duplicated document (planted hot hash) plus distinct tail —
+    // the north-rule skew scenario; salting must change the plan (salt
+    // column in the join), never the output
+    val hot = (0 until 5000).map(i => (f"hot$i%05d", 777L))
+    val tail = (0 until 200).map(i => (s"t$i", 1000L + i))
+    val df = (hot ++ tail).toDF("url", "h").repartition(8)
+    val unsalted = Rules.exactDup(df, col("url"), col("h"), saltBuckets = 1)
+    val salted = Rules.exactDup(df, col("url"), col("h"), saltBuckets = 16)
+    val a = unsalted.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("detail"))).toSet
+    val b = salted.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("detail"))).toSet
+    assert(a == b)
+    assert(a.size == 4999 && a.forall(_._2 == "hot00000"))
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("zScoreExtreme: boundary-equal values flagged (reference quirk)") {
     // values 0..10 mean 5, choose k s.t. hi lands exactly on a value
     val df = (0 to 10).map(_.toDouble).toDF("x").withColumn("url", col("x").cast("string"))

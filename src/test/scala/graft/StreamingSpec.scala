@@ -32,4 +32,24 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch)
   }
+
+  test("streaming heuristic verdicts equal the batch pass-1 heuristics") {
+    import org.apache.spark.sql.SaveMode
+    val pages = graft.sources.PagesGen.generate(spark, 500, 4).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pages-stream").toString
+    pages.write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = EventStream.heuristicVerdictStream(spark, dir, "page_verdicts")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT url, rule FROM page_verdicts")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batchPages = spark.read.parquet(dir)
+    val batch = graft.pipeline.QualityPipeline.heuristicVerdicts(
+        graft.pipeline.QualityPipeline.features(batchPages),
+        graft.pipeline.QualityPipeline.defaultConfig)
+      .select("url", "rule")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
