@@ -23,8 +23,16 @@ object Bench {
     pages.count()
     val sec = timeIt {
       val res = graft.pipeline.QualityPipeline.run(pages)
-      res.kept.write.mode("overwrite").format("noop").save()
-      res.verdicts.write.mode("overwrite").format("noop").save()
+      // independent sinks submit concurrently (idiomatic: the scheduler
+      // interleaves their stages); both read only warm caches and
+      // checkpoint leaves at this point, so there is no cold-cache race
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(res.kept, res.verdicts).map { df =>
+        Future(df.write.mode("overwrite").format("noop").save())
+      }
+      writes.foreach(Await.result(_, Duration.Inf))
       res.unpersist() // warmup + repeat runs must not accumulate caches
     }
     pages.unpersist()

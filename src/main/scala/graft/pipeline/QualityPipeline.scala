@@ -45,7 +45,7 @@ object QualityPipeline {
       minJaccard: Double = 0.80,         // near-dup verify threshold
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
-      saltBuckets: Int = 64,             // two-phase agg fan-out for skew
+      saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
       maxDriverEdges: Long = 2000000L)   // components: driver union-find below, distributed cascade above
 
   val defaultConfig: Config = Config()
@@ -55,7 +55,8 @@ object QualityPipeline {
   // ---------------------------------------------------------------------
   /** All per-doc features come from ONE fused expression
     * ([[graft.functions.DocStats]]) — a single tight JVM pass per
-    * document (~10 µs/doc). The composed Column/higher-order-function
+    * document (~100 µs/doc single-thread on ~1.4 KB docs, byte path +
+    * one-probe score table). The composed Column/higher-order-function
     * version measured ~16 ms/doc (HOF lambdas are interpreted per
     * element, and any Column subtree referenced inside a lambda
     * re-evaluates per element — see DocStats scaladoc). TextFns remains

@@ -25,6 +25,11 @@ class ScrubSpec extends AnyFunSuite {
     "this DAMN thing is idiot-adjacent, what the Hell",
     "nothing to scrub here at all",
     "edge@case.io. trailing 999-99-9999.",
+    // trigger-prescan edge cases: lexicon word as substring (prescan
+    // fires, \b regex must reject → output unchanged); multibyte text
+    // with '@' (byte-level prescan must not corrupt the UTF-8 fast path)
+    "damnation is hellish but no standalone word",
+    "café@exämple.com naïve 12 Straße",
     ""
   )
 
