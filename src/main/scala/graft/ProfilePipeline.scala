@@ -22,6 +22,23 @@ object ProfilePipeline {
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.QualityPipeline._
 
+    if (args.length > 2 && args(2) == "kernel") {
+      // single-thread fused-kernel micro-bench (no Spark in the loop)
+      val texts = (0L until n).map(i =>
+        graft.sources.PagesGen.genRow(i).text).toArray
+      val bytes = texts.map(_.length.toLong).sum
+      // warmup (JIT + model tables)
+      texts.take(2000).foreach(t => graft.functions.DocStats.compute(t, 32))
+      val t0 = System.nanoTime()
+      var sink = 0L
+      texts.foreach { t =>
+        sink += graft.functions.DocStats.compute(t, 32).fingerprint
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] kernel: $n docs, ${bytes / 1e6}%.1f MB, $sec%.2f s = " +
+        f"${sec * 1e6 / n}%.1f us/doc, ${bytes / sec / 1e6}%.1f MB/s (sink=$sink)")
+      spark.stop(); return
+    }
     if (args.length > 2 && args(2) == "nocache") {
       // run() dataflow with NO persistence — cache-contention bisect
       val pages = graft.sources.PagesGen.generate(spark, n, cpus).toDF()
