@@ -507,12 +507,16 @@ object QualityPipeline {
     // materialises each ONCE — over the warm feat cache, branches running
     // fully parallel inside one job — and every downstream consumer
     // (survivor anti-joins, writes, metrics) reads a block-backed leaf.
-    val v1 = pass1(feat, cfg, bag).localCheckpoint(true)
+    // coalesce before checkpointing: the verdict union is 10+ branches ×
+    // shuffle.partitions tasks of a few rows each — one leaf partition
+    // per core is plenty and cuts the checkpoint job's task count 10×
+    val par = pages.sparkSession.sparkContext.defaultParallelism
+    val v1 = pass1(feat, cfg, bag).coalesce(par).localCheckpoint(true)
     val dropped1 = v1.select("url").distinct()
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
     val (v2raw, statCols) = pass2Impl(survivors, cfg)
     bag.track(statCols)
-    val v2 = v2raw.localCheckpoint(true)
+    val v2 = v2raw.coalesce(par).localCheckpoint(true)
     val verdicts = v1.unionByName(v2)
     val scrub: Column => Column =
       if (fusedScrub) Scrub.scrubFused else Scrub.scrubCol
