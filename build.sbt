@@ -29,6 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // batch throughput over pause latency: the fused per-doc scorer
   // allocates norm strings/token buffers at a rate G1 handles poorly on
-  // many-core local mode (observed 2× run-to-run variance)
-  "-XX:+UseParallelGC",
+  // many-core local mode (observed 2× run-to-run variance); overridable
+  // for GC experiments at large cache sizes
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

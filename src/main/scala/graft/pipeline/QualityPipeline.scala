@@ -195,7 +195,15 @@ object QualityPipeline {
     //  - above it — genuinely web-scale duplication — the distributed
     //    chain (broadcast verify joins, min-label cascade) is the only
     //    shape that fits.
-    if (pairs.count() <= cfg.maxDriverEdges) nearDupDriverVerify(eligible, pairs, cfg)
+    // ONE action decides AND fetches: pulling maxDriverEdges+1 rows from
+    // the leaf either yields the complete pair set (driver path) or
+    // proves overflow (distributed path) — a separate count() was a
+    // driver round-trip spent learning what the fetch shows anyway
+    val fetchCap = (cfg.maxDriverEdges + 1).min(Int.MaxValue.toLong).toInt
+    val fetched = pairs.limit(fetchCap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (fetched.length <= cfg.maxDriverEdges)
+      nearDupDriverVerify(eligible, fetched, cfg)
     else nearDupDistributedVerify(eligible, sigs, pairs, cfg)
   }
 
@@ -205,11 +213,11 @@ object QualityPipeline {
     * Verify semantics are IDENTICAL to the Column formula:
     * (#equal signature positions)/k ≥ minJaccard.
     */
-  private def nearDupDriverVerify(eligible: DataFrame, pairs: DataFrame,
+  private def nearDupDriverVerify(eligible: DataFrame,
+                                  pairRows: Array[(Long, Long)],
                                   cfg: Config): DataFrame = {
     val spark = eligible.sparkSession
     import spark.implicits._
-    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val uids = pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
     val uidDf = spark.createDataset(uids.toSeq).toDF("uid")
     val members = eligible.select(col("uid"), col("url"), col("minhash_sig"))
