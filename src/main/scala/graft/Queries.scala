@@ -334,11 +334,20 @@ object Queries {
   /** The df-capped (doc_id, tok) universe — every downstream join key has
     * at most [[MaxShingleDf]] occurrences, so the self-join emits at most
     * df·(df−1)/2 ≤ 2016 rows per shingle instead of O(corpus²).
+    *
+    * Implemented as a broadcast ANTI-join against the hot-shingle
+    * BLACKLIST (df > cap): the blacklist is tiny by construction — a
+    * shingle enters it only by appearing in >64 documents, so its size is
+    * bounded by corpus/65 and in practice is the handful of boilerplate
+    * shingles — while the previous equi-join against the `allowed` set
+    * shuffled the ENTIRE exploded universe a second time just to keep
+    * almost all of it (the df groupBy shuffle is unavoidable; the
+    * allowed-side join shuffle was not).
     */
   def cappedShingles(ex0: DataFrame): DataFrame = {
-    val allowed = ex0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("tok")
-    ex0.join(allowed, Seq("tok"))
+    val hot = ex0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("tok")
+    ex0.join(broadcast(hot), Seq("tok"), "left_anti")
   }
 
   val dqNgramJaccardSql: String = {

@@ -510,9 +510,20 @@ object DocStats {
     sig
   }
 
+  /** Band-count clamp, applied at the API boundary: [[Result.bandKeysOf]]
+    * emits only bands whose `rowsPerBand` rows all exist in the signature,
+    * which DIFFERS from the composed [[Hashing.bandKeys]] whenever
+    * `minHashK < bands*rowsPerBand` (there, an out-of-range slice is empty
+    * and aggregates to key 0 — co-bucketing every short-sig doc, a
+    * degenerate LSH). Clamping here makes the truncation the DECLARED
+    * semantics of this entry point (narrow-k test configs included);
+    * [[graft.pipeline.QualityPipeline.Config]] rejects the mismatched
+    * regime outright for the production pipeline.
+    */
   def docStats(c: Column, minHashK: Int, bands: Int = 8,
                rowsPerBand: Int = 4): Column =
-    GraftExpr.column(DocStatsExpr(GraftExpr.expr(c), minHashK, bands, rowsPerBand))
+    GraftExpr.column(DocStatsExpr(GraftExpr.expr(c), minHashK,
+      math.min(bands, minHashK / rowsPerBand), rowsPerBand))
 }
 
 case class DocStatsExpr(child: Expression, minHashK: Int,

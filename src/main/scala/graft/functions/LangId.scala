@@ -227,19 +227,33 @@ case class MarkerLangExpr(child: Expression)
     val n = s.length
     var i = 0
     var ts = -1
+    var poisoned = false
     var h = 0xcbf29ce484222325L
     while (i <= n) {
       val ws = i == n || isWs(s.charAt(i))
       if (ws) {
         if (ts >= 0) {
-          val idx = java.util.Arrays.binarySearch(SortedHashes, h)
-          if (idx >= 0) hits(HashLang(idx)) += 1
+          if (!poisoned) {
+            val idx = java.util.Arrays.binarySearch(SortedHashes, h)
+            if (idx >= 0) hits(HashLang(idx)) += 1
+          }
           ts = -1
+          poisoned = false
           h = 0xcbf29ce484222325L
         }
       } else {
         if (ts < 0) ts = i
-        h ^= Character.toLowerCase(s.charAt(i)); h *= 0x100000001b3L
+        val c = s.charAt(i)
+        // the composed reference lowercases the WHOLE token via lower(),
+        // whose 1-to-N special cases (e.g. U+0130 'İ' → "i̇") a per-char
+        // Character.toLowerCase cannot reproduce ("İS" would hash to "is"
+        // and score a marker hit the oracle never sees). Markers are all
+        // pure-ASCII and contain no 'k' (the lone non-ASCII→ASCII
+        // lowercase mapping is U+212A Kelvin → k), so a token containing
+        // ANY non-ASCII char can never equal a lower()ed marker: poison
+        // it instead of guessing at its lowercase form.
+        if (c >= 0x80) poisoned = true
+        else { h ^= (c | 0x20); h *= 0x100000001b3L }
       }
       i += 1
     }

@@ -29,16 +29,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Scrub {
 
-  /** (pattern, replacement), applied in order. Order is part of the
-    * contract — changing it changes scrubbed bytes.
+  /** Prescan trigger class: the cheap byte-level precondition without
+    * which a pattern cannot possibly match. Every pattern DECLARES its
+    * trigger — deriving it from a hardcoded position switch silently
+    * mis-gated any appended pattern onto the digit trigger (a digit-free
+    * pattern would then never run: unscrubbed PII with no error).
     */
-  val Patterns: Seq[(String, String)] = Seq(
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
-    ("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
-    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("(?i)\\b(?:" + TextFns.ToxicityLexicon.mkString("|") + ")\\b", "<TOX>")
+  sealed trait Trigger
+  case object NeedsAt extends Trigger     // pattern requires an '@'
+  case object NeedsDigit extends Trigger  // pattern requires a [0-9]
+  case object NeedsTox extends Trigger    // pattern requires a lexicon word substring
+
+  /** (pattern, replacement, prescan trigger), applied in order. Order is
+    * part of the contract — changing it changes scrubbed bytes.
+    */
+  val PatternSpecs: Seq[(String, String, Trigger)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", NeedsAt),
+    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>", NeedsDigit),
+    ("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>", NeedsDigit),
+    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>", NeedsDigit),
+    ("(?i)\\b(?:" + TextFns.ToxicityLexicon.mkString("|") + ")\\b", "<TOX>", NeedsTox)
   )
+
+  /** (pattern, replacement) view — the oracle-SQL interpolation and the
+    * golden-fixture replay use this shape.
+    */
+  val Patterns: Seq[(String, String)] = PatternSpecs.map(p => (p._1, p._2))
 
   /** Built-in-expression scrub chain (codegen path, oracle-portable). */
   def scrubCol(c: Column): Column =
@@ -69,9 +85,9 @@ case class ScrubText(child: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
-    Scrub.Patterns.map { case (p, r) =>
-      (java.util.regex.Pattern.compile(p), r)
+  @transient private lazy val compiled: Array[(java.util.regex.Pattern, String, Scrub.Trigger)] =
+    Scrub.PatternSpecs.map { case (p, r, t) =>
+      (java.util.regex.Pattern.compile(p), r, t)
     }.toArray
 
   // lexicon as ASCII bytes for the byte-level prescan
@@ -109,14 +125,13 @@ case class ScrubText(child: Expression)
     var changed = false
     i = 0
     while (i < compiled.length) {
-      // 0=EMAIL('@'), 1=SSN, 2=PHONE, 3=IP (digits), 4=TOX (lexicon word)
-      val applicable = i match {
-        case 0 => hasAt
-        case 4 => hasTox
-        case _ => hasDigit
+      val (pat, rep, trigger) = compiled(i)
+      val applicable = trigger match {
+        case Scrub.NeedsAt => hasAt
+        case Scrub.NeedsDigit => hasDigit
+        case Scrub.NeedsTox => hasTox
       }
       if (applicable) {
-        val (pat, rep) = compiled(i)
         val m = pat.matcher(s)
         if (m.find()) { s = m.replaceAll(rep); changed = true }
       }

@@ -46,7 +46,21 @@ object QualityPipeline {
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
-      maxDriverEdges: Long = 2000000L)   // components: driver union-find below, distributed cascade above
+      // near-dup components: driver union-find below BOTH bounds,
+      // distributed cascade above either. 200k edges / 300k members keeps
+      // the driver fetch (url + primitive k-long signature per member,
+      // ~350 B/member) under ~100 MB — safe on a stock 4–8 GB cluster
+      // driver; the previous 2M-edge default courted an OOM exactly at
+      // the crossover.
+      maxDriverEdges: Long = 200000L,
+      maxDriverMembers: Long = 300000L) {
+    // bandKeysOf truncates the band set to the signature length; a config
+    // asking for more banded rows than the signature holds would silently
+    // diverge from the composed Hashing.bandKeys semantics (empty-slice
+    // bands hash to key 0 and co-bucket every short-sig doc).
+    require(bands * rowsPerBand <= minHashK,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) must not exceed minHashK ($minHashK)")
+  }
 
   val defaultConfig: Config = Config()
 
@@ -137,8 +151,7 @@ object QualityPipeline {
     * hash-distributed by construction (band keys are uniform hashes), so
     * host-level skew cannot concentrate this shuffle.
     */
-  def nearDupVerdicts(feat: DataFrame, cfg: Config,
-                      bag: CacheBag = new CacheBag): DataFrame = {
+  def nearDupVerdicts(feat: DataFrame, cfg: Config): DataFrame = {
     // ALL LSH machinery runs in 8-byte uid space (xxhash64 of url): the
     // exploded band rows and every join key would otherwise carry the
     // ~60-byte url string — 3.5× the shuffle bytes for zero information
@@ -202,7 +215,14 @@ object QualityPipeline {
     val fetchCap = (cfg.maxDriverEdges + 1).min(Int.MaxValue.toLong).toInt
     val fetched = pairs.limit(fetchCap).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    if (fetched.length <= cfg.maxDriverEdges)
+    // driver-heap gate is on MEMBER count, not just edge count: the fetch
+    // below pulls (url, signature) per distinct member, so a sparse pair
+    // set touching many docs (e.g. 200k disjoint pairs = 400k members)
+    // is what actually sizes the driver working set
+    val memberCount: Long =
+      if (fetched.length > cfg.maxDriverEdges) Long.MaxValue
+      else fetched.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.size.toLong
+    if (fetched.length <= cfg.maxDriverEdges && memberCount <= cfg.maxDriverMembers)
       nearDupDriverVerify(eligible, fetched, cfg)
     else nearDupDistributedVerify(eligible, sigs, pairs, cfg)
   }
@@ -220,17 +240,32 @@ object QualityPipeline {
     import spark.implicits._
     val uids = pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
     val uidDf = spark.createDataset(uids.toSeq).toDF("uid")
+    // signatures land as primitive Array[Long] (null hash positions → -1
+    // sentinel, impossible for a real hash in [0, P)): the boxed
+    // Seq[java.lang.Long] form retained ~3× the heap per member, which is
+    // what bounds this path's driver footprint at the crossover
+    val NullSig = -1L
     val members = eligible.select(col("uid"), col("url"), col("minhash_sig"))
       .join(broadcast(uidDf), Seq("uid"))
       .collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[java.lang.Long](2)))
+      .map { r =>
+        val boxed = r.getSeq[java.lang.Long](2)
+        val sig = new Array[Long](cfg.minHashK)
+        var i = 0
+        while (i < cfg.minHashK) {
+          val v = boxed(i)
+          sig(i) = if (v == null) NullSig else v.longValue()
+          i += 1
+        }
+        r.getLong(0) -> (r.getString(1), sig)
+      }
       .toMap
-    def estJaccard(a: Seq[java.lang.Long], b: Seq[java.lang.Long]): Double = {
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
       var eq = 0
       var i = 0
       while (i < cfg.minHashK) {
         // mirror the Column formula: null positions never count as equal
-        if (a(i) != null && a(i) == b(i)) eq += 1
+        if (a(i) != NullSig && a(i) == b(i)) eq += 1
         i += 1
       }
       eq.toDouble / cfg.minHashK
@@ -259,18 +294,20 @@ object QualityPipeline {
     */
   private def nearDupDistributedVerify(eligible: DataFrame, sigs: DataFrame,
                                        pairs: DataFrame, cfg: Config): DataFrame = {
-    // verify candidates: join signatures back. The PAIRS side is
-    // broadcast — a shuffle join here moves the ENTIRE signature table
-    // (2 × corpus × sigBytes) to verify a candidate set that is orders of
-    // magnitude smaller; broadcasting the pairs keeps the signature scan
-    // partition-local with zero sig shuffle. (With AQE on, Spark reaches
-    // the same plan adaptively; the hint makes it deterministic. For a
+    // verify candidates: join signatures back. NO broadcast hint — this
+    // branch is selected precisely BECAUSE the pair set overflowed the
+    // driver bound, so force-broadcasting it (and worse, p1 = pairs ×
+    // 32-long signatures, ~300 B/row) would blow the driver build and
+    // Spark's 8 GB broadcast cap exactly at web-scale pair counts. With
+    // AQE on, a pair set that happens to be small still gets converted to
+    // a broadcast join adaptively from its MEASURED size; a genuinely
+    // huge one shuffle-joins on uid, which partitions correctly. (For a
     // pathological pair explosion the LSH band width, not this join, is
     // the knob that needs retuning.)
     val p1 = sigs.select(col("uid").as("uid1"), col("minhash_sig").as("sig1"))
-      .join(broadcast(pairs), Seq("uid1"))
+      .join(pairs, Seq("uid1"))
     val withSigs = sigs.select(col("uid").as("uid2"), col("minhash_sig").as("sig2"))
-      .join(broadcast(p1), Seq("uid2"))
+      .join(p1, Seq("uid2"))
     val jac = withSigs.withColumn("jaccard",
       aggregate(zip_with(col("sig1"), col("sig2"),
         (a, b) => when(a === b, 1).otherwise(0)),
@@ -288,16 +325,20 @@ object QualityPipeline {
     val verified = jac.select(col("uid1"), col("uid2"))
       .localCheckpoint(true)
     val labels = connectedMin(verified).localCheckpoint(true)
-    // back to url space: one broadcast join over the (tiny) clustered
-    // member set against the pruned (uid, url) feature scan — no shuffle.
-    // The cluster SURVIVOR is the min URL over the whole component
-    // (SURVEY §2.3 tie-break), computed here — so hub/uid choices above
-    // never leak into semantics.
+    // back to url space: join the clustered member set against the pruned
+    // (uid, url) feature scan. Usually the member set is tiny and AQE
+    // converts this to a broadcast join from its measured size; no FORCED
+    // hint, because on this web-scale branch a heavily-duplicated corpus
+    // can make the verified member set a corpus-scale fraction, and a
+    // forced broadcast would then fail outright where a uid-partitioned
+    // shuffle join degrades gracefully. The cluster SURVIVOR is the min
+    // URL over the whole component (SURVEY §2.3 tie-break), computed here
+    // — so hub/uid choices above never leak into semantics.
     val members = eligible.select(col("uid"), col("url"))
-      .join(broadcast(labels), Seq("uid"))
+      .join(labels, Seq("uid"))
     val survivors = members.groupBy(col("label"))
       .agg(min(col("url")).as("keep_url"))
-    members.join(broadcast(survivors), Seq("label"))
+    members.join(survivors, Seq("label"))
       .filter(col("url") =!= col("keep_url"))
       .select(col("url"), lit("near_dup").as("rule"),
         lit(false).as("keep"), lit(1.0).cast(DoubleType).as("score"),
@@ -390,11 +431,10 @@ object QualityPipeline {
     spark.createDataset(labels).toDF("uid", "label")
   }
 
-  def pass1(feat: DataFrame, cfg: Config = defaultConfig,
-            bag: CacheBag = new CacheBag): DataFrame =
+  def pass1(feat: DataFrame, cfg: Config = defaultConfig): DataFrame =
     heuristicVerdicts(feat, cfg)
       .unionByName(exactDupVerdicts(feat, cfg))
-      .unionByName(nearDupVerdicts(feat, cfg, bag))
+      .unionByName(nearDupVerdicts(feat, cfg))
 
   // ---------------------------------------------------------------------
   // Pass 2 — corpus-stat rules over pass-1 survivors
@@ -407,11 +447,14 @@ object QualityPipeline {
     */
   def pass2(survivors: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val (v2, statCols) = pass2Impl(survivors, cfg)
-    // force now so the caller may not leak the internal cache forever:
-    // the verdicts are tiny, the cache has served its purpose once built
-    v2.cache().count()
+    // materialize as a CHECKPOINT LEAF, not a cache: a long-running caller
+    // looping over partitions via pass2 would otherwise accumulate one
+    // never-released cache per call; a localCheckpoint block is freed by
+    // the ContextCleaner when the DataFrame is GC'd
+    val par = survivors.sparkSession.sparkContext.defaultParallelism
+    val out = v2.coalesce(par).localCheckpoint(true)
     statCols.unpersist()
-    v2
+    out
   }
 
   /** pass2 returning (verdicts, internal statCols cache) so [[run]] can
@@ -519,7 +562,7 @@ object QualityPipeline {
     // shuffle.partitions tasks of a few rows each — one leaf partition
     // per core is plenty and cuts the checkpoint job's task count 10×
     val par = pages.sparkSession.sparkContext.defaultParallelism
-    val v1 = pass1(feat, cfg, bag).coalesce(par).localCheckpoint(true)
+    val v1 = pass1(feat, cfg).coalesce(par).localCheckpoint(true)
     val dropped1 = v1.select("url").distinct()
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
     val (v2raw, statCols) = pass2Impl(survivors, cfg)

@@ -84,4 +84,27 @@ class LangIdSpec extends AnyFunSuite {
       .select(LangId.markerLang(col("text"))).head().getString(0)
     assert(tie == "de")
   }
+
+  test("fused marker scorer matches lower() semantics on non-ASCII tokens") {
+    // U+0130 'İ' full-string-lowercases to "i̇" (1-to-N mapping): lower("İS")
+    // is NOT "is", so the composed path scores no marker hit — the fused
+    // per-char path must agree (it poisons any token containing a char
+    // ≥ 0x80 rather than guessing its lowercase form). U+212A Kelvin → 'k'
+    // is the lone non-ASCII→ASCII mapping; no marker contains 'k'.
+    val docs = Seq(
+      "İS İST zzz",            // İS İST — must NOT hit en "is"
+      "the İS and of",              // en hits come from ASCII tokens only
+      "thé lès dés",      // accented near-markers — no hits
+      "Kel els",                    // Kelvin-sign token
+      "DER DİE UND"                 // DİE poisoned; der+und still de
+    ).toDF("text")
+    val mismatch = docs.select(
+        LangId.markerLang(col("text")).as("f"),
+        LangId.markerLangComposed(col("text")).as("c"))
+      .filter(!(col("f") <=> col("c")))
+    assert(mismatch.count() == 0, mismatch.collect().take(5).mkString("; "))
+    val got = docs.select(LangId.markerLang(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("und", "en", "und", "und", "de"), got)
+  }
 }

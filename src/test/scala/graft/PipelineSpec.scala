@@ -190,6 +190,33 @@ class PipelineSpec extends AnyFunSuite {
       s"expected B and C dropped in favour of A, got $v")
   }
 
+  test("near-dup crossover: driver and distributed verify paths agree, and " +
+    "BOTH bounds (edges, members) can force the distributed path") {
+    import spark.implicits._
+    // 4 planted exact-near-dup pairs (8 members) + noise docs
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val base = (0 until 40).map(i => s"word$i").mkString(" ")
+    val rows = (0 until 4).flatMap { g =>
+      val t = s"$base group$g " + (0 until 30).map(i => s"g${g}w$i").mkString(" ")
+      Seq((s"https://x/p/${g}a", ts, Array.empty[Byte], t, "en"),
+          (s"https://x/p/${g}b", ts, Array.empty[Byte], t + " tail", "en"))
+    } ++ (0 until 10).map(i =>
+      (s"https://x/n/$i", ts, Array.empty[Byte],
+        (0 until 50).map(j => s"n${i}x$j").mkString(" "), "en"))
+    val df = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    val cfg = QualityPipeline.defaultConfig
+    val feat = QualityPipeline.features(df, cfg)
+    def verdictsWith(c: QualityPipeline.Config): Set[(String, String)] =
+      QualityPipeline.nearDupVerdicts(feat, c).collect()
+        .map(r => (r.getAs[String]("url"), r.getAs[String]("detail"))).toSet
+    val driver = verdictsWith(cfg) // small pair set → driver path
+    val distByEdges = verdictsWith(cfg.copy(maxDriverEdges = 0L))
+    val distByMembers = verdictsWith(cfg.copy(maxDriverMembers = 1L))
+    assert(driver.nonEmpty, "fixture drifted: no near-dup pairs planted")
+    assert(distByEdges == driver, "edge-bound distributed path diverged")
+    assert(distByMembers == driver, "member-bound distributed path diverged")
+  }
+
   test("fused scrub and chain scrub produce identical kept output") {
     val a = QualityPipeline.run(pages, fusedScrub = false).kept
       .select("url", "scrubbed_text").collect()
