@@ -86,7 +86,9 @@ object ProfilePipeline {
       col("n_words"), col("n_chars"), "a", "b"))
     val v2 = pass2(survivors)
     t("v2 count")(v2.count())
-    val kept = survivors.join(v2.select("url").distinct(), Seq("url"), "left_anti")
+    val droppedAll = dropped1.select("url")
+      .unionByName(v2.select("url")).distinct()
+    val kept = pages.join(droppedAll, Seq("url"), "left_anti")
       .select(col("url"), graft.functions.Scrub.scrubCol(col("text")).as("s"))
     t("kept write")(kept.write.mode("overwrite").format("noop").save())
     t("verdicts write")(v1.unionByName(v2).write.mode("overwrite").format("noop").save())

@@ -36,8 +36,10 @@ object ScalingBench {
             val si = sc.stageInfo
             val wall = (for { s <- si.submissionTime; c <- si.completionTime }
               yield c - s).getOrElse(-1L)
+            val tm = si.taskMetrics
             System.err.println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
-              f"wall=${wall / 1000.0}%7.2fs cpu=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs " +
+              f"wall=${wall / 1000.0}%7.2fs run=${tm.executorRunTime / 1000.0}%8.2fs " +
+              f"cpu=${tm.executorCpuTime / 1e9}%8.2fs gc=${tm.jvmGCTime / 1000.0}%7.2fs " +
               si.name.take(60))
           }
         })

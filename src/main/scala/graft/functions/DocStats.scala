@@ -466,6 +466,10 @@ object DocStats {
 
   private def minhashOf(tokHashes: java.util.ArrayList[Long],
                         minHashK: Int): Array[java.lang.Long] = {
+    // k=0 is the "lite" kernel (kept-side output recompute): skip the
+    // shingle/minhash machinery entirely — the caller only reads the
+    // scalar features
+    if (minHashK == 0) return new Array[java.lang.Long](0)
     val nTok = tokHashes.size()
     val shingleHashes: Array[Long] =
       if (nTok >= ShingleSize) {

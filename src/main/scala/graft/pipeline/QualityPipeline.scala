@@ -15,17 +15,22 @@ import graft.profile.Profiler
   * sequencing — `/root/reference/src/improve_data_quality.py:227-284`,
   * pass-2 sees only pass-1 survivors, :610/:739):
   *
-  *   pages ──(narrow fused projection)──> features
+  *   pages ──(narrow fused projection, text NOT retained)──> features
   *   features ──(per-row rules: no shuffle)──> verdicts₁a
   *   features ──(dedup groupBy on 8-byte hash)──> verdicts₁b
   *   features ──(MinHash bands groupBy)──> verdicts₁c
-  *   kept₁ = pages ⟕ anti-join(verdicts₁)
-  *   kept₁ ──(corpus-stat + group rules)──> verdicts₂
-  *   kept  = kept₁ anti-join verdicts₂, + scrubbed_text (narrow)
+  *   survivors₁ = features anti-join verdicts₁
+  *   survivors₁ ──(corpus-stat + group rules)──> verdicts₂
+  *   kept = pages (SECOND source scan) anti-join (verdicts₁ ∪ verdicts₂),
+  *          + scrubbed_text + lite-kernel output features (narrow)
   *
-  * Scale shape: ONE full scan of text (the fused feature projection);
-  * shuffles carry only (url, hashes/scores) — never the document body;
-  * group rules shuffle on low-cardinality or hash-distributed keys.
+  * Scale shape: TWO narrow scans of the source text (feature pass, kept
+  * writer) and a cached feature frame that carries NO document bodies
+  * (~300 B/doc): at 10⁹-doc partitions the corpus text cannot live in
+  * cluster storage memory, so the design re-reads the columnar source for
+  * the kept output instead of caching or shuffling bodies. Shuffles carry
+  * only (url, hashes/scores); group rules shuffle on low-cardinality or
+  * hash-distributed keys.
   */
 object QualityPipeline {
 
@@ -64,6 +69,19 @@ object QualityPipeline {
 
   val defaultConfig: Config = Config()
 
+  // env-gated phase timer (SPARK_GRAFT_PHASES=1): localizes driver-side
+  // wall between actions — stage metrics alone can't show scheduling /
+  // analysis / collect gaps
+  private val PhaseLog = sys.env.contains("SPARK_GRAFT_PHASES")
+  @inline private def ph[T](name: String)(f: => T): T =
+    if (!PhaseLog) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[phase] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
   // ---------------------------------------------------------------------
   // Stage 1: fused per-document features — one narrow pass over `text`.
   // ---------------------------------------------------------------------
@@ -78,7 +96,12 @@ object QualityPipeline {
     */
   def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame =
     // html is the raw payload (text extraction input) — nothing after the
-    // feature stage reads it, and caching it would double the working set
+    // feature stage reads it. text is ALSO dropped from the feature frame
+    // (see the final .drop): every rule below reads only the computed
+    // features, and a feature cache carrying the document bodies is what
+    // cannot exist at corpus scale (100 TB of text does not fit a
+    // cluster's storage memory; ~300 B/doc of features does). The kept
+    // writer re-reads text from the source scan instead (run()).
     pages.drop("html")
       .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")),
         cfg.minHashK, cfg.bands, cfg.rowsPerBand))
@@ -97,43 +120,56 @@ object QualityPipeline {
       .withColumn("fingerprint", col("__ds.fingerprint"))
       .withColumn("minhash_sig", col("__ds.minhash_sig"))
       .withColumn("band_keys", col("__ds.band_keys"))
-      .drop("__ds")
+      .drop("__ds", "text")
 
   // ---------------------------------------------------------------------
   // Pass 1 rules
   // ---------------------------------------------------------------------
-  private def v(df: DataFrame, rule: String, score: Column, detail: Column): DataFrame =
-    df.select(col("url"), lit(rule).as("rule"), lit(false).as("keep"),
-      score.cast(DoubleType).as("score"), detail.cast("string").as("detail"))
-
-  /** Per-row heuristic rules — pure filters over the feature projection,
-    * zero shuffle. Gopher/C4 semantics ≙ reference extreme/empty rules.
+  /** Per-row heuristic rules — ONE pass over the feature projection, zero
+    * shuffle. Gopher/C4 semantics ≙ reference extreme/empty rules.
+    *
+    * All eight rules are evaluated in a single scan as an array of
+    * conditional verdict structs + explode + null filter (all codegen'd;
+    * no HOFs). The previous one-branch-per-rule union was semantically
+    * identical but paid EIGHT feature-frame scans per pass-1 job —
+    * measured ~30 s CPU per scan at 2M docs just decoding the columnar
+    * cache, ~8× the useful filter work, and the kind of fixed per-scan
+    * cost that erodes scaling efficiency at high parallelism.
     */
   def heuristicVerdicts(feat: DataFrame, cfg: Config): DataFrame = {
-    val empty = v(feat.filter(col("text").isNull || col("n_words") < cfg.minWords),
-      "empty", col("n_words"), lit("min_words"))
-    val symbols = v(feat.filter(col("symbol_ratio") > cfg.maxSymbolRatio),
-      "symbol_ratio", col("symbol_ratio"), lit("max_symbol_ratio"))
-    val mwl = v(feat.filter(col("mean_word_len").isNotNull &&
-      (col("mean_word_len") < cfg.minMeanWordLen ||
-        col("mean_word_len") > cfg.maxMeanWordLen)),
-      "mean_word_len", col("mean_word_len"), lit("word_len_window"))
-    val stop = v(feat.filter(col("lang_id.lang") === "en" &&
-      col("stopword_ratio").isNotNull &&
-      col("stopword_ratio") < cfg.minStopwordRatio),
-      "stopword_ratio", col("stopword_ratio"), lit("en_min_stopwords"))
-    val ppl = v(feat.filter(col("perplexity") > cfg.maxPerplexity),
-      "perplexity", col("perplexity"), lit("lm_junk"))
-    val dupLines = v(feat.filter(col("dup_line_ratio") > cfg.maxDupLineRatio),
-      "dup_lines", col("dup_line_ratio"), lit("boilerplate_lines"))
-    val langMismatch = v(feat.filter(
-      col("lang").isNotNull && col("lang_id.score") > cfg.langIdMinMargin &&
-        col("lang_id.lang") =!= col("lang")),
-      "lang_mismatch", col("lang_id.score"), col("lang_id.lang"))
-    val tox = v(feat.filter(col("toxicity_hits") > cfg.maxToxicityHits),
-      "toxicity", col("toxicity_hits"), lit("max_toxicity_hits"))
-    Seq(symbols, mwl, stop, ppl, dupLines, langMismatch, tox)
-      .foldLeft(empty)(_ unionByName _)
+    def entry(cond: Column, rule: String, score: Column, detail: Column) =
+      when(cond, struct(lit(rule).as("rule"),
+        score.cast(DoubleType).as("score"),
+        detail.cast("string").as("detail")))
+    val entries = array(
+      // null text computes features over "" (n_words = 0 < minWords), so
+      // the empty rule needs no text reference — the frame carries none
+      entry(col("n_words") < cfg.minWords,
+        "empty", col("n_words"), lit("min_words")),
+      entry(col("symbol_ratio") > cfg.maxSymbolRatio,
+        "symbol_ratio", col("symbol_ratio"), lit("max_symbol_ratio")),
+      entry(col("mean_word_len").isNotNull &&
+        (col("mean_word_len") < cfg.minMeanWordLen ||
+          col("mean_word_len") > cfg.maxMeanWordLen),
+        "mean_word_len", col("mean_word_len"), lit("word_len_window")),
+      entry(col("lang_id.lang") === "en" &&
+        col("stopword_ratio").isNotNull &&
+        col("stopword_ratio") < cfg.minStopwordRatio,
+        "stopword_ratio", col("stopword_ratio"), lit("en_min_stopwords")),
+      entry(col("perplexity") > cfg.maxPerplexity,
+        "perplexity", col("perplexity"), lit("lm_junk")),
+      entry(col("dup_line_ratio") > cfg.maxDupLineRatio,
+        "dup_lines", col("dup_line_ratio"), lit("boilerplate_lines")),
+      entry(col("lang").isNotNull && col("lang_id.score") > cfg.langIdMinMargin &&
+        col("lang_id.lang") =!= col("lang"),
+        "lang_mismatch", col("lang_id.score"), col("lang_id.lang")),
+      entry(col("toxicity_hits") > cfg.maxToxicityHits,
+        "toxicity", col("toxicity_hits"), lit("max_toxicity_hits")))
+    feat.select(col("url"), explode(entries).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("url"), col("__e.rule").as("rule"),
+        lit(false).as("keep"), col("__e.score").as("score"),
+        col("__e.detail").as("detail"))
   }
 
   /** Exact dedup on the 60-bit content fingerprint: shuffle carries
@@ -142,7 +178,7 @@ object QualityPipeline {
   def exactDupVerdicts(feat: DataFrame,
                        cfg: Config = defaultConfig): DataFrame =
     Rules.exactDup(
-      feat.filter(col("text").isNotNull && col("n_chars") > 0),
+      feat.filter(col("n_chars") > 0), // null/empty text ⇒ n_chars = 0
       col("url"), col("fingerprint"), cfg.saltBuckets)
 
   /** Near-dup via MinHash + LSH banding: docs sharing any band bucket are
@@ -160,18 +196,25 @@ object QualityPipeline {
     // ~1e-7 at a 10⁹-doc day partition; a collision merges two docs'
     // candidacy and is caught by the signature verify.
     val eligible = feat
-      .filter(col("text").isNotNull && col("n_words") >= lit(5))
+      .filter(col("n_words") >= lit(5)) // null text ⇒ n_words = 0
       .select(col("url"), xxhash64(col("url")).as("uid"),
         col("minhash_sig"), col("band_keys"))
     val sigs = eligible.select(col("uid"), col("minhash_sig"))
-    // candidate discovery shuffles ONLY (uid, band, key) — never the
+    // candidate discovery shuffles ONLY (uid, bucket) — never the
     // signature (the exploded bands would otherwise carry `bands` copies
     // of every signature through the shuffle). Band keys come PRECOMPUTED
     // from the fused DocStats pass: the composed slice+aggregate version
     // (Hashing.bandKeys, kept as the semantic reference) interprets its
     // HOF lambdas per element and measured ~190 s CPU at 300k docs.
+    // The (band, key) pair is folded BIJECTIVELY into one long
+    // (key < P = 2³¹ ⇒ key*bands+band < 2³⁴+): this shuffle is the
+    // pipeline's biggest (docs × bands rows), and one 8-byte column in
+    // place of two cuts its row width by a third with identical bucket
+    // semantics.
+    val nb = math.max(1, cfg.bands)
     val bands = eligible
       .select(col("uid"), posexplode(col("band_keys")).as(Seq("band", "key")))
+      .select(col("uid"), (col("key") * lit(nb.toLong) + col("band")).as("bucket"))
     // HUB pairING, not all-pairs: each bucket member pairs with the
     // bucket's min uid only. An all-pairs self-join is O(|bucket|²) and a
     // single template-heavy bucket (boilerplate, shared page furniture)
@@ -179,7 +222,7 @@ object QualityPipeline {
     // the verified pairs then cluster transitively, and the SURVIVOR is
     // chosen by min URL over the whole cluster at the end, so the hub
     // choice only affects candidate discovery, never semantics.
-    val hubs = bands.groupBy(col("band"), col("key"))
+    val hubs = bands.groupBy(col("bucket"))
       .agg(min(col("uid")).as("hub"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1) // singleton buckets can't pair
       .drop("__cnt")
@@ -193,11 +236,11 @@ object QualityPipeline {
     // concurrent downstream stages race-recompute the whole LSH lineage:
     // measured 4× wall.) Same pattern as GraphX/GraphFrames iterative
     // jobs; on a cluster, a lost executor costs a stage retry.
-    val pairs = bands.join(hubs, Seq("band", "key"))
+    val pairs0 = bands.join(hubs, Seq("bucket"))
       .filter(col("uid") =!= col("hub"))
       .select(col("hub").as("uid1"), col("uid").as("uid2"))
       .dropDuplicates("uid1", "uid2")
-      .localCheckpoint(true)
+    val pairs = ph("neardup pairs checkpoint")(pairs0.localCheckpoint(true))
     // scale-adaptive verify + clustering (same spirit as AQE's broadcast
     // decision — the candidate set is materialised so its size is KNOWN):
     //  - below the threshold, signature verify, transitive components and
@@ -213,7 +256,7 @@ object QualityPipeline {
     // proves overflow (distributed path) — a separate count() was a
     // driver round-trip spent learning what the fetch shows anyway
     val fetchCap = (cfg.maxDriverEdges + 1).min(Int.MaxValue.toLong).toInt
-    val fetched = pairs.limit(fetchCap).collect()
+    val fetched = ph("neardup pair fetch")(pairs.limit(fetchCap).collect())
       .map(r => (r.getLong(0), r.getLong(1)))
     // driver-heap gate is on MEMBER count, not just edge count: the fetch
     // below pulls (url, signature) per distinct member, so a sparse pair
@@ -245,9 +288,10 @@ object QualityPipeline {
     // Seq[java.lang.Long] form retained ~3× the heap per member, which is
     // what bounds this path's driver footprint at the crossover
     val NullSig = -1L
-    val members = eligible.select(col("uid"), col("url"), col("minhash_sig"))
-      .join(broadcast(uidDf), Seq("uid"))
-      .collect()
+    val members = ph("neardup member fetch")(
+      eligible.select(col("uid"), col("url"), col("minhash_sig"))
+        .join(broadcast(uidDf), Seq("uid"))
+        .collect())
       .map { r =>
         val boxed = r.getSeq[java.lang.Long](2)
         val sig = new Array[Long](cfg.minHashK)
@@ -548,7 +592,7 @@ object QualityPipeline {
     // their stages run concurrently against a cold cache and each branch
     // recomputes the feature projection (observed 2× wall at high
     // parallelism from duplicate work + memory-store contention)
-    feat.count()
+    ph("feat cache build")(feat.count())
     // VERDICT SETS ARE LEAVES, NOT CACHES. unionByName flattens unions
     // eagerly, so a downstream plan never contains the v1/v2 union node
     // and a cache() on either can never be matched (measured: every
@@ -562,20 +606,33 @@ object QualityPipeline {
     // shuffle.partitions tasks of a few rows each — one leaf partition
     // per core is plenty and cuts the checkpoint job's task count 10×
     val par = pages.sparkSession.sparkContext.defaultParallelism
-    val v1 = pass1(feat, cfg).coalesce(par).localCheckpoint(true)
+    val v1 = ph("v1 checkpoint")(pass1(feat, cfg).coalesce(par).localCheckpoint(true))
     val dropped1 = v1.select("url").distinct()
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
-    val (v2raw, statCols) = pass2Impl(survivors, cfg)
+    val (v2raw, statCols) = ph("pass2 stats agg")(pass2Impl(survivors, cfg))
     bag.track(statCols)
-    val v2 = v2raw.coalesce(par).localCheckpoint(true)
+    val v2 = ph("v2 checkpoint")(v2raw.coalesce(par).localCheckpoint(true))
     val verdicts = v1.unionByName(v2)
     val scrub: Column => Column =
       if (fusedScrub) Scrub.scrubFused else Scrub.scrubCol
-    val kept = survivors
-      .join(v2.select("url").distinct(), Seq("url"), "left_anti")
+    // kept output: RE-SCAN the source pages (anti-join the tiny dropped
+    // url set — both verdict sides are checkpoint leaves, AQE broadcasts
+    // them) and recompute the three output features with the LITE kernel
+    // (minHashK=0: no shingle/minhash work). The feature cache carries no
+    // text, so this second source scan is what pays for a cache the
+    // cluster can actually hold: at corpus scale caching the bodies is
+    // impossible, re-reading the columnar source is the designed-for
+    // path, and the lite recompute (~µs/doc) is pure partition-local CPU
+    // — strictly cheaper than shuffling the kept bodies through a join
+    // against the feature frame.
+    val droppedAll = v1.select("url").unionByName(v2.select("url")).distinct()
+    val kept = pages.drop("html")
+      .join(droppedAll, Seq("url"), "left_anti")
+      .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")), 0))
       .select(col("url"), col("warc_ts"), col("lang"),
-        col("lang_id.lang").as("lang_detected"),
-        col("perplexity"), col("n_words"),
+        col("__ds.lang").as("lang_detected"),
+        col("__ds.perplexity").as("perplexity"),
+        col("__ds.n_words").as("n_words"),
         scrub(col("text")).as("scrubbed_text"))
     val metrics = verdicts.rollup(col("rule")).count()
       .withColumn("rule", coalesce(col("rule"), lit("__total__")))
