@@ -732,22 +732,36 @@ object Queries {
       |SELECT qid, id, round(cos, 4) AS cos_r, rank FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** LSH-bucketed ANN — no SQL oracle (rows-only check); recall vs brute
-    * force is asserted in AnnSpec.
+  /** LSH-bucketed ANN with a DETERMINISTIC oracle: an exact copy of every
+    * query vector is planted in the corpus at id = qid + 10⁶. Identical
+    * vectors produce identical SRP signatures in EVERY table, so the copy
+    * is guaranteed into the candidate set; its cosine is exactly 1.0 (the
+    * global maximum), so it is guaranteed into the top-k. The emitted
+    * SUBSET — each query's own planted copy — is therefore exact and
+    * SQL-expressible even though the full top-k is approximate (the
+    * approximate remainder stays covered by AnnSpec's recall bound vs
+    * brute force).
     */
   val embAnnLsh: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = tbl(s, dir, "embeddings")
-    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus0 = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = corpus0.unionByName(queries.select(
+      (col("qid") + lit(1000000L)).as("id"), col("qvec").as("vec")))
     // nBits sized from the corpus (one cheap count) so the same query is
     // bucket-bounded at ANY sf; multi-probe recovers Hamming-1 near-misses
     val nBits = Ann.autoNBits(corpus.count(), targetBucket = 64)
     Ann.lshTopK(corpus, queries, 5, dim = 64, nBits = nBits, tables = 12,
         multiProbe = true)
-      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"), col("rank"))
-      .orderBy("qid", "rank")
+      .filter(col("id") === col("qid") + lit(1000000L))
+      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"))
+      .orderBy("qid")
   }
+
+  val embAnnLshSql: String =
+    """SELECT vec_id AS qid, vec_id + 1000000 AS id, 1.0::DOUBLE AS cos_r
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
 
   // ======================================================================
   // Multimodal plumbing: opaque binary + typed metadata
@@ -939,17 +953,32 @@ object Queries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL image metadata path: every doc gets a genuine PNG payload
+    * (ImageIO-encoded, solid color) whose dimensions derive from the doc
+    * id — so the decoded width/height/format are exact, SQL-expressible
+    * facts and the decode is oracle-checked end-to-end (encode bytes →
+    * binary column → per-partition ImageIO header decode). n_bytes is the
+    * PNG's encoded size (not SQL-derivable) and stays out of the oracle
+    * projection.
+    */
   val mmMediaMeta: (SparkSession, String) => DataFrame = (s, dir) => {
-    val withPayload = docs(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    import s.implicits._
+    val withPayload = docs(s, dir).select(col("doc_id").cast(LongType)).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.makePng(
+          (16 + id % 16).toInt, (16 + (id / 16) % 16).toInt, id))
+      }
+      .toDF("doc_id", "payload")
     graft.multimodal.Multimodal.extractMeta(withPayload).toDF()
-      .select("doc_id", "n_bytes", "magic_hex") // stub dims excluded from oracle
+      .select("doc_id", "magic_hex", "width", "height", "format")
       .orderBy("doc_id")
   }
 
   val mmMediaMetaSql: String =
-    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-      | upper(substr(hex(encode(text)), 1, 8)) AS magic_hex
+    """SELECT doc_id, '89504E47' AS magic_hex,
+      | (16 + doc_id % 16)::INT AS width,
+      | (16 + (doc_id // 16) % 16)::INT AS height,
+      | 'png' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ======================================================================
@@ -1014,8 +1043,9 @@ object Queries {
     "dq_outlier_score" -> dqOutlierScoreSql,
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
-    // emb_ann_lsh, mm_frame_sample: intentionally no oracle
-    // (approximate / engine-internal hashes; rows-only check)
+    "emb_ann_lsh" -> embAnnLshSql, // planted-copy subset: exact (scaladoc)
+    // mm_frame_sample: intentionally no oracle
+    // (engine-internal FNV frame hashes; rows-only check)
     "emb_cosine_dedup" -> embCosineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_media_meta" -> mmMediaMetaSql,

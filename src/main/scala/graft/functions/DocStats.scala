@@ -62,6 +62,7 @@ object DocStats {
     StructField("lang_score", DoubleType, nullable = false),
     StructField("perplexity", DoubleType, nullable = false),
     StructField("fingerprint", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false),
     StructField("minhash_sig", ArrayType(LongType, containsNull = true), nullable = false),
     StructField("band_keys", ArrayType(LongType, containsNull = false), nullable = false)
   ))
@@ -98,7 +99,8 @@ object DocStats {
       symbolRatio: java.lang.Double, stopwordRatio: java.lang.Double,
       toxicityHits: Int, nLines: Int, nDistinctLines: Int,
       dupLineRatio: Double, lang: String, langScore: Double,
-      perplexity: Double, fingerprint: Long, minhash: Array[java.lang.Long]) {
+      perplexity: Double, fingerprint: Long, simhash: Long,
+      minhash: Array[java.lang.Long]) {
     /** LSH band keys over the signature — same formula as the composed
       * [[Hashing.bandKeys]] (pmod rolling hash of each row group), but
       * computed in a tight loop. The composed slice+aggregate HOFs are
@@ -313,6 +315,7 @@ object DocStats {
       nLines = nLines, nDistinctLines = nDistinct, dupLineRatio = dupLineRatio,
       lang = lang, langScore = langScore, perplexity = perplexity,
       fingerprint = fnv1aB(norm, 0, m),
+      simhash = simhash60Of(tokHashes),
       minhash = minhashOf(tokHashes, minHashK))
   }
 
@@ -441,6 +444,7 @@ object DocStats {
       nLines = nLines, nDistinctLines = nDistinct, dupLineRatio = dupLineRatio,
       lang = lang, langScore = langScore, perplexity = perplexity,
       fingerprint = fnv1a(norm, 0, norm.length),
+      simhash = simhash60Of(tokHashes),
       minhash = minhashOf(tokHashes, minHashK))
   }
 
@@ -463,6 +467,33 @@ object DocStats {
         else (lidScores(best) - lidScores(second)) / grams
       (langs(best), margin)
     }
+
+  /** 60-bit SimHash over the document's FNV token hashes (frequency-
+    * weighted: repeated tokens vote repeatedly — cheaper than building a
+    * distinct set in the kernel, and a legitimate simhash variant;
+    * documented contract of the `simhash` feature column). Bit b is set
+    * iff at least half the token hashes have bit b set — the same vote
+    * rule as the composed [[Hashing.simHash]]. Empty input ⇒ 0.
+    * 60 bits keeps the value portable (same bound as md5Long) and leaves
+    * headroom for 4×15-bit pigeonhole bands (Hamming ≤ 3 candidate
+    * discovery — [[graft.rules.Rules.simHashNearDup]]).
+    */
+  private def simhash60Of(tokHashes: java.util.ArrayList[Long]): Long = {
+    val nTok = tokHashes.size()
+    if (nTok == 0) return 0L
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < nTok) {
+      val h = tokHashes.get(t)
+      var b = 0
+      while (b < 60) { if (((h >>> b) & 1L) != 0L) votes(b) += 1; b += 1 }
+      t += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 60) { if (2 * votes(b) >= nTok) sh |= (1L << b); b += 1 }
+    sh
+  }
 
   private def minhashOf(tokHashes: java.util.ArrayList[Long],
                         minHashK: Int): Array[java.lang.Long] = {
@@ -542,7 +573,8 @@ case class DocStatsExpr(child: Expression, minHashK: Int,
       r.nChars, r.nWords, r.meanWordLen, r.symbolRatio, r.stopwordRatio,
       r.toxicityHits, r.nLines, r.nDistinctLines, r.dupLineRatio,
       UTF8String.fromString(r.lang), r.langScore, r.perplexity,
-      r.fingerprint, new GenericArrayData(r.minhash.asInstanceOf[Array[Any]]),
+      r.fingerprint, r.simhash,
+      new GenericArrayData(r.minhash.asInstanceOf[Array[Any]]),
       new GenericArrayData(r.bandKeysOf(bands, rowsPerBand)))
   }
 

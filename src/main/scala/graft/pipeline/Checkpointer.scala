@@ -29,9 +29,23 @@ object Checkpointer {
                                    nKept: Long, nVerdicts: Long,
                                    wallMs: Long, skipped: Boolean)
 
+  /** Process every day partition; up to `concurrency` days run at once.
+    *
+    * Days are independent by the pinned per-day stats contract
+    * (ResumeSpec), so concurrent processing is pure scheduling: Spark
+    * interleaves the days' stages, filling the idle slots each single
+    * day's barrier points (checkpoints, stat aggregation) leave on a big
+    * cluster. Results are AWAITED IN DAY ORDER, so when day k fails,
+    * every earlier day has already committed (atomically, via
+    * [[ParquetLakeTable]]) before the failure propagates — a resume
+    * after a crash therefore skips a PREFIX plus whatever later
+    * in-flight days happened to commit, and reprocesses the rest; both
+    * are correct because commits are atomic per partition.
+    */
   def run(spark: SparkSession, pages: DataFrame, outRoot: String,
           cfg: QualityPipeline.Config = QualityPipeline.defaultConfig,
-          failAtPartition: Option[String] = None): Seq[PartitionReport] = {
+          failAtPartition: Option[String] = None,
+          concurrency: Int = 2): Seq[PartitionReport] = {
     import spark.implicits._
     val keptTable = new ParquetLakeTable(spark, s"$outRoot/kept", "pdate")
     val verdictTable = new ParquetLakeTable(spark, s"$outRoot/verdicts", "pdate")
@@ -42,7 +56,7 @@ object Checkpointer {
     val done = keptTable.committedPartitions intersect
       verdictTable.committedPartitions intersect lineageTable.committedPartitions
 
-    days.map { day =>
+    def processDay(day: String): PartitionReport =
       if (done.contains(day)) {
         PartitionReport(day, -1, -1, -1, 0, skipped = true)
       } else {
@@ -67,7 +81,18 @@ object Checkpointer {
         // multi-day run would otherwise accumulate one cache set per day
         PartitionReport(day, nDocs, nKept, nVerdicts, wallMs, skipped = false)
       }
-    }.toSeq
+
+    if (concurrency <= 1) days.map(processDay).toSeq
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futures = days.map(day => Future(processDay(day)))
+        futures.map(Await.result(_, Duration.Inf)).toSeq
+      } finally pool.shutdownNow()
+    }
   }
 
   def readKept(spark: SparkSession, outRoot: String): DataFrame =

@@ -118,6 +118,7 @@ object QualityPipeline {
         col("__ds.lang").as("lang"), col("__ds.lang_score").as("score")))
       .withColumn("perplexity", col("__ds.perplexity"))
       .withColumn("fingerprint", col("__ds.fingerprint"))
+      .withColumn("simhash", col("__ds.simhash"))
       .withColumn("minhash_sig", col("__ds.minhash_sig"))
       .withColumn("band_keys", col("__ds.band_keys"))
       .drop("__ds", "text")

@@ -68,6 +68,83 @@ object Rules {
       col("url"), "duplication", lit(1.0), col("__first"))
   }
 
+  /** SimHash Hamming near-dup rule — the cheap second opinion next to the
+    * MinHash/LSH path (SURVEY §2.4): two documents whose 60-bit token
+    * simhashes differ in ≤ `maxHamming` bits are near-duplicates; the
+    * larger url of each verified pair is flagged (keep-first = min url,
+    * same tie-break as every dedup rule).
+    *
+    * Candidate discovery is PIGEONHOLE banding: the 60-bit simhash splits
+    * into `maxHamming+1` chunks (15 bits each at the defaults), and any
+    * pair within Hamming ≤ maxHamming must agree EXACTLY on at least one
+    * chunk — so chunk-equality buckets provably contain every qualifying
+    * pair (no recall loss, unlike probabilistic LSH). Scale shape mirrors
+    * the MinHash path: explode to (bucket, url, sig) with one long bucket
+    * id — hub pairing bounds each bucket at O(|bucket|) pairs, and
+    * verification is a codegen'd bit_count(xor) filter. One groupBy shuffle of
+    * docs × (maxHamming+1) narrow rows; no all-pairs anything.
+    */
+  def simHashNearDup(df: DataFrame, key: Column, simhash: Column,
+                     maxHamming: Int = 3, bits: Int = 60,
+                     maxBucket: Int = 256): DataFrame = {
+    require(bits % (maxHamming + 1) == 0,
+      s"bits ($bits) must split evenly into ${maxHamming + 1} chunks")
+    val chunks = maxHamming + 1
+    val w = bits / chunks
+    val mask = (1L << w) - 1L
+    val t = df.select(key.as("__url"), simhash.as("__sh"))
+    val ex = t.select(col("__url"), col("__sh"),
+      explode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("__sh"), c * w).bitwiseAND(lit(mask)) *
+          lit(chunks.toLong) + lit(c.toLong)
+      }: _*)).as("bucket"))
+    // a 15-bit chunk is a far weaker discriminator than a MinHash band
+    // key (natural-language bit bias concentrates chunk values), so
+    // buckets legitimately hold many UNRELATED docs and hub-only pairing
+    // would drop a true pair whenever a chance collider owns the hub.
+    // Two regimes, split by measured bucket size:
+    //  - |bucket| ≤ maxBucket: ALL-PAIRS within the bucket — bounded at
+    //    maxBucket²/2 pairs, exact recall for Hamming ≤ maxHamming (the
+    //    pigeonhole guarantees a shared chunk);
+    //  - |bucket| > maxBucket: hub pairing only — the df-cap pattern
+    //    (same contract as the MinHash path's hub star and the n-gram
+    //    df cap): a bucket that hot is a degenerate discriminator, and
+    //    O(|bucket|²) on it is exactly the detonation this engine never
+    //    allows. Production note: at 10⁹+ docs, 15-bit chunks saturate —
+    //    widen the fingerprint (128-bit, 4×32-bit chunks) rather than
+    //    raising maxBucket.
+    val sizes = ex.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+    val exS = ex.join(sizes, Seq("bucket")).filter(col("__n") > 1)
+    val small = exS.filter(col("__n") <= maxBucket)
+    val pairsSmall = small.as("a").join(small.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.__url") < col("b.__url"))
+      .select(col("a.__url").as("__u1"), col("a.__sh").as("__s1"),
+        col("b.__url").as("__u2"), col("b.__sh").as("__s2"))
+    val big = exS.filter(col("__n") > maxBucket)
+    val hubs = big.groupBy(col("bucket"))
+      .agg(min(struct(col("__url"), col("__sh"))).as("__h"))
+      .select(col("bucket"), col("__h.__url").as("__hub_url"),
+        col("__h.__sh").as("__hub_sh"))
+    val pairsBig = big.join(hubs, Seq("bucket"))
+      .filter(col("__url") =!= col("__hub_url"))
+      .select(least(col("__url"), col("__hub_url")).as("__u1"),
+        when(col("__url") < col("__hub_url"), col("__sh"))
+          .otherwise(col("__hub_sh")).as("__s1"),
+        greatest(col("__url"), col("__hub_url")).as("__u2"),
+        when(col("__url") < col("__hub_url"), col("__hub_sh"))
+          .otherwise(col("__sh")).as("__s2"))
+    val verified = pairsSmall.unionByName(pairsBig)
+      .filter(graft.functions.Hashing.hammingDist(col("__s1"), col("__s2"))
+        <= maxHamming)
+    val flagged = verified.select(
+      col("__u2").as("__drop"), col("__u1").as("__keep"),
+      graft.functions.Hashing.hammingDist(col("__s1"), col("__s2")).as("__dist"))
+      .groupBy(col("__drop"))
+      .agg(min(col("__keep")).as("__keep"), min(col("__dist")).as("__dist"))
+    verdict(flagged, col("__drop"), "near_dup_simhash",
+      col("__dist"), col("__keep"))
+  }
+
   /** Z-score extremes (`utils.py:190-232`). The reference's quirk is kept:
     * the predicate is `NOT (x > lo AND x < hi)` so boundary-EQUAL values
     * are flagged. Gate: only runs when uniqueness ∈ (0.0001, 0.99)

@@ -102,9 +102,10 @@ class DocStatsSpec extends AnyFunSuite {
   test("minhash: identical docs get identical sigs; empty gets nulls") {
     val two = Seq("the quick brown fox jumps over it", "the quick brown fox jumps over it", "")
       .toDF("t").select(DocStats.docStats(col("t"), 8).as("d")).collect()
-    val s0 = two(0).getStruct(0).getSeq[Any](13)
-    val s1 = two(1).getStruct(0).getSeq[Any](13)
-    val s2 = two(2).getStruct(0).getSeq[Any](13)
+    val idx = DocStats.schema.fieldIndex("minhash_sig")
+    val s0 = two(0).getStruct(0).getSeq[Any](idx)
+    val s1 = two(1).getStruct(0).getSeq[Any](idx)
+    val s2 = two(2).getStruct(0).getSeq[Any](idx)
     assert(s0 == s1)
     assert(s2.forall(_ == null))
   }
