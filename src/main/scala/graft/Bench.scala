@@ -23,13 +23,46 @@ object Bench {
     ts(reps / 2)
   }
 
+  /** Pipeline input at n docs, in one of two shapes (SPARK_GRAFT_INPUT):
+    *
+    *  - `parquet` (default): the generated pages are written ONCE to a
+    *    local parquet table (untimed) and the pipeline reads from it —
+    *    the PRODUCTION shape: column pruning keeps the never-read html
+    *    payload on disk, both pipeline scans are real columnar scans
+    *    with pushdown, and the input occupies zero JVM heap (caching
+    *    multi-KB documents on-heap is exactly what a cluster cannot do
+    *    at corpus scale, and its GC pressure polluted the cached-input
+    *    scaling numbers). The table is keyed by (n, generator version
+    *    fingerprint) so fresh-JVM matrix levels reuse one write and a
+    *    seed-corpus change can never serve stale rows.
+    *  - `cache`: round-1/2 methodology — generate + cache on-heap.
+    *
+    * Returns (pages, release).
+    */
+  def pipelineInput(spark: SparkSession, n: Long)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val gen = () => graft.sources.PagesGen.generate(spark, n,
+      spark.sparkContext.defaultParallelism).toDF()
+    sys.env.getOrElse("SPARK_GRAFT_INPUT", "parquet") match {
+      case "cache" =>
+        val pages = gen()
+        pages.cache()
+        pages.count()
+        (pages, () => { pages.unpersist(); () })
+      case _ =>
+        val ver = Integer.toHexString(
+          graft.sources.PagesGen.genRow(123457L).text.hashCode)
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_pages_${n}_$ver")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          gen().write.mode("overwrite").parquet(dir.getPath)
+        (spark.read.parquet(dir.getPath), () => ())
+    }
+  }
+
   /** End-to-end keep/drop+scrub throughput on n generated pages. */
   def pipelineDocsPerSec(spark: SparkSession, n: Long): (Double, Double) = {
-    val pages = graft.sources.PagesGen.generate(spark, n,
-      spark.sparkContext.defaultParallelism).toDF()
-    // materialize generation first so the pipeline timing is pipeline-only
-    pages.cache()
-    pages.count()
+    val (pages, release) = pipelineInput(spark, n)
     val sec = timeIt {
       val res = graft.pipeline.QualityPipeline.run(pages)
       // independent sinks submit concurrently (idiomatic: the scheduler
@@ -44,7 +77,7 @@ object Bench {
       writes.foreach(Await.result(_, Duration.Inf))
       res.unpersist() // warmup + repeat runs must not accumulate caches
     }
-    pages.unpersist()
+    release()
     (n / sec, sec)
   }
 

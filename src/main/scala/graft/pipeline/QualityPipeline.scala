@@ -43,7 +43,12 @@ object QualityPipeline {
       maxPerplexity: Double = 12.0,      // LM junk threshold (clean ≤ ~7.2, gibberish ≥ ~34 on the fixture)
       zScoreK: Double = 6.0,             // reference default (utils.py:190)
       groupZK: Double = 10.0,            // per-lang ppl outliers: conservative (abs rule is primary)
-      langIdMinMargin: Double = 0.35,    // mismatch rule confidence gate
+      // mismatch rule confidence gate. Recalibrated 0.35 → 0.25 when the
+      // langid model grew pt/nl/sv/pl confusers (round 3): the close
+      // es↔pt pair compresses worst-case clean-doc margins to ~0.32
+      // (LangIdSpec pins the floor per language), so the old gate would
+      // have silently stopped flagging some corrupted-label docs.
+      langIdMinMargin: Double = 0.25,
       maxDupLineRatio: Double = 0.30,    // line-dedup (C4 boilerplate)
       minHashK: Int = 32,                // signature width
       bands: Int = 8, rowsPerBand: Int = 4,
@@ -188,7 +193,21 @@ object QualityPipeline {
     * hash-distributed by construction (band keys are uniform hashes), so
     * host-level skew cannot concentrate this shuffle.
     */
-  def nearDupVerdicts(feat: DataFrame, cfg: Config): DataFrame = {
+  def nearDupVerdicts(feat: DataFrame, cfg: Config): DataFrame =
+    nearDupResolve(nearDupCandidates(feat, cfg), cfg)
+
+  /** Candidate-discovery half of [[nearDupVerdicts]]: explodes band keys,
+    * hub-pairs each bucket and materialises the pair set as a checkpoint
+    * leaf. Split out so [[run]] can use this job — a single linear stage
+    * chain whose map stage is the pipeline's FIRST scan of `feat` — as
+    * the feature-cache builder (no separate count() barrier), and overlap
+    * the heuristic/exact-dup checkpoint with [[nearDupResolve]]'s
+    * collect/verify actions.
+    */
+  final case class NearDupCandidates(eligible: DataFrame, sigs: DataFrame,
+                                     pairs: DataFrame)
+
+  def nearDupCandidates(feat: DataFrame, cfg: Config): NearDupCandidates = {
     // ALL LSH machinery runs in 8-byte uid space (xxhash64 of url): the
     // exploded band rows and every join key would otherwise carry the
     // ~60-byte url string — 3.5× the shuffle bytes for zero information
@@ -242,6 +261,14 @@ object QualityPipeline {
       .select(col("hub").as("uid1"), col("uid").as("uid2"))
       .dropDuplicates("uid1", "uid2")
     val pairs = ph("neardup pairs checkpoint")(pairs0.localCheckpoint(true))
+    NearDupCandidates(eligible, sigs, pairs)
+  }
+
+  /** Verify + cluster + survivor-select over a materialised candidate
+    * pair leaf (the second half of [[nearDupVerdicts]]).
+    */
+  def nearDupResolve(cand: NearDupCandidates, cfg: Config): DataFrame = {
+    import cand.{eligible, sigs, pairs}
     // scale-adaptive verify + clustering (same spirit as AQE's broadcast
     // decision — the candidate set is materialised so its size is KNOWN):
     //  - below the threshold, signature verify, transitive components and
@@ -388,6 +415,12 @@ object QualityPipeline {
       .select(col("url"), lit("near_dup").as("rule"),
         lit(false).as("keep"), lit(1.0).cast(DoubleType).as("score"),
         col("keep_url").cast("string").as("detail"))
+      // leaf-ify to match the driver path's local-relation shape: run()
+      // references the near-dup verdicts several times (survivor
+      // anti-join, verdict union, kept anti-join, metrics), and without
+      // a leaf each reference re-runs the url join-back's feat scan
+      .coalesce(eligible.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
   }
 
   /** Number of min-label propagation rounds = the maximum near-dup
@@ -588,12 +621,16 @@ object QualityPipeline {
           fusedScrub: Boolean = true): Result = {
     val bag = new CacheBag
     val feat = bag.track(features(pages, cfg).cache())
-    // MATERIALIZATION BARRIER: pass-1 is a union of three independent
-    // branches that all scan `feat`; without forcing the cache first,
-    // their stages run concurrently against a cold cache and each branch
-    // recomputes the feature projection (observed 2× wall at high
-    // parallelism from duplicate work + memory-store contention)
-    ph("feat cache build")(feat.count())
+    // CACHE BUILD IS FOLDED INTO THE FIRST REAL JOB: the near-dup
+    // candidate checkpoint's map stage is a single linear stage chain
+    // (the bands exchange is reused by both the hub aggregate and the
+    // pair join), so it scans feat exactly once, cold, populating the
+    // cache as a side effect — no concurrent-branch cold-cache race is
+    // possible, and the previous standalone count() barrier (one full
+    // warm scan + an action round-trip of pure coordination on the
+    // serial critical path) is gone. All LATER feat consumers still run
+    // strictly after this job, so they read a warm cache.
+    val cand = ph("neardup candidates")(nearDupCandidates(feat, cfg))
     // VERDICT SETS ARE LEAVES, NOT CACHES. unionByName flattens unions
     // eagerly, so a downstream plan never contains the v1/v2 union node
     // and a cache() on either can never be matched (measured: every
@@ -607,7 +644,23 @@ object QualityPipeline {
     // shuffle.partitions tasks of a few rows each — one leaf partition
     // per core is plenty and cuts the checkpoint job's task count 10×
     val par = pages.sparkSession.sparkContext.defaultParallelism
-    val v1 = ph("v1 checkpoint")(pass1(feat, cfg).coalesce(par).localCheckpoint(true))
+    // OVERLAP: the heuristic+exact-dup checkpoint (cluster-parallel scans
+    // of the now-warm cache) runs concurrently with the near-dup
+    // collect/verify chain (mostly driver-side latency: a bounded fetch,
+    // a member fetch, local union-find) — the two own disjoint resources,
+    // so this removes the near-dup driver round-trips from the serial
+    // critical path instead of queueing them behind the v1 job.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val v1aF = Future(ph("v1a checkpoint")(
+      heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg))
+        .coalesce(par).localCheckpoint(true)))
+    val nd = ph("neardup resolve")(nearDupResolve(cand, cfg))
+    // both sides are materialised leaves (v1a a checkpoint block, nd a
+    // local relation or checkpointed join-back), so the union needs no
+    // further checkpoint
+    val v1 = Await.result(v1aF, Duration.Inf).unionByName(nd)
     val dropped1 = v1.select("url").distinct()
     val survivors = feat.join(dropped1, Seq("url"), "left_anti")
     val (v2raw, statCols) = ph("pass2 stats agg")(pass2Impl(survivors, cfg))

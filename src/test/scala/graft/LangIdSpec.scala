@@ -23,6 +23,53 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  // Genuinely HELD-OUT sentences (everyday narrative; most content words
+  // do not appear in any seed list) across all 9 model languages,
+  // including the close pairs es↔pt and de↔nl↔sv the broadened model must
+  // separate on character patterns alone. ASCII-folded like the seeds.
+  private val heldOut = Map(
+    "en" -> "yesterday the children walked quietly across the old bridge while their friends waited near the river",
+    "fr" -> "hier les enfants ont marche lentement sur le vieux pont pendant que leurs amis attendaient pres de la riviere",
+    "de" -> "gestern gingen die kinder langsam ueber die alte bruecke waehrend ihre freunde am fluss warteten",
+    "es" -> "ayer los ninos caminaron despacio por el puente viejo mientras sus amigos esperaban cerca del rio",
+    "it" -> "ieri i bambini hanno camminato lentamente sul vecchio ponte mentre i loro amici aspettavano vicino al fiume",
+    "pt" -> "ontem as criancas caminharam devagar pela ponte velha enquanto os seus amigos esperavam perto do rio",
+    "nl" -> "gisteren liepen de kinderen langzaam over de oude brug terwijl hun vrienden bij de rivier wachtten",
+    "sv" -> "igar gick barnen langsamt over den gamla bron och deras vanner vantade lange vid floden eftersom vadret var mycket vackert",
+    "pl" -> "wczoraj dzieci szly powoli przez stary most podczas gdy ich przyjaciele czekali nad rzeka"
+  )
+
+  test("broadened model: held-out non-seed sentences classify correctly in all 9 languages") {
+    heldOut.foreach { case (lang, s) =>
+      val (got, margin) = LangIdModel.classify(s)
+      assert(got == lang, s"expected $lang got $got (margin $margin) for: $s")
+    }
+  }
+
+  test("fixture-doc margins clear the lang_mismatch gate in every fixture language") {
+    // the mismatch rule only fires at score > langIdMinMargin; a
+    // corrupted-label doc whose margin sank below the gate would silently
+    // stop being flagged — pin that fixture docs keep comfortable margins
+    // now that pt/nl/sv/pl confusers are in the model (es↔pt is the
+    // closest pair)
+    val gate = graft.pipeline.QualityPipeline.defaultConfig.langIdMinMargin
+    graft.sources.PagesGen.Langs.foreach { lang =>
+      val margins = (0 until 20).map { i =>
+        val r = new graft.sources.PagesGen.Rng(i * 7919L + 17)
+        val doc = (0 until 150).map(_ => {
+          val v = LangIdModel.SeedCorpus(lang).split("\\s+")
+          v(r.nextInt(v.length))
+        }).mkString(" ")
+        val (got, margin) = LangIdModel.classify(doc)
+        assert(got == lang, s"fixture-style $lang doc classified $got")
+        margin
+      }
+      val worst = margins.min
+      assert(worst > gate,
+        s"$lang worst margin $worst is under the mismatch gate $gate")
+    }
+  }
+
   test("classify is deterministic and handles degenerate input") {
     assert(LangIdModel.classify("") == ("und", 0.0))
     assert(LangIdModel.classify("ab") == ("und", 0.0))
