@@ -280,6 +280,49 @@ object Queries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash Hamming near-dup verdicts ([[graft.rules.Rules.simHashNearDup]]
+    * — the engine's cheap second opinion next to MinHash/LSH) over a
+    * 60-bit md5 token simhash, oracle-checked against a brute-force
+    * all-pairs DuckDB twin. The engine path's pigeonhole banding (4 ×
+    * 15-bit chunks) is EXACT for Hamming ≤ 3 while every chunk bucket
+    * stays under `maxBucket` — at 15-bit chunks that holds far past the
+    * oracle scales (32k bucket values vs 10³–10⁴ docs), so banded ==
+    * brute force and the hash comparison is legitimate. Exact-duplicate
+    * documents in the fixture guarantee Hamming-0 pairs (rows > 0).
+    */
+  val dqSimHashNearDup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sh = docs(s, dir).select(col("doc_id"),
+      graft.functions.Md5SimHash.md5SimHash(col("text"), 60).as("sh"))
+    graft.rules.Rules.simHashNearDup(sh, col("doc_id"), col("sh"),
+        maxHamming = 3, bits = 60)
+      .select(col("url").cast(LongType).as("doc_id"), col("rule"),
+        col("score").cast(LongType).as("hamming"),
+        col("detail").cast(LongType).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  val dqSimHashNearDupSql: String = {
+    // brute-force twin of the banded plan: same 60-bit md5 simhash (the
+    // dq_simhash formula at 60 bits), all pairs at Hamming <= 3, each
+    // dropped (larger) id reports its min distance and min keeper
+    // independently — mirroring the rule's groupBy(min, min)
+    val bits = (0 until 60).map { b =>
+      s"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $b) & 1)) >= len(hs) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_transform(${Frag.toks("text")}, t -> lower(t))) AS toks
+       | FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t -> ${Frag.md5Long("t")}) AS hs FROM t),
+       |s AS (SELECT doc_id, (CASE WHEN len(hs) > 0 THEN $bits ELSE 0 END)::BIGINT AS sh FROM h),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |        bit_count(xor(a.sh, b.sh)) AS dist
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+       |SELECT d2 AS doc_id, 'near_dup_simhash' AS rule,
+       | min(dist)::BIGINT AS hamming, min(d1)::BIGINT AS keep_id
+       |FROM p GROUP BY d2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (web boilerplate) and are exactly the O(df²) hot keys that detonate a
     * shingle self-join at scale — they are dropped from the Jaccard
@@ -994,6 +1037,7 @@ object Queries {
     "dq_exact_dup" -> dqExactDup,
     "dq_minhash" -> dqMinHash,
     "dq_simhash" -> dqSimHash,
+    "dq_simhash_neardup" -> dqSimHashNearDup,
     "dq_ngram_jaccard" -> dqNgramJaccard,
     "dq_completeness" -> dqCompleteness,
     "dq_extreme_zscore" -> dqExtremeZscore,
@@ -1029,6 +1073,7 @@ object Queries {
     "dq_exact_dup" -> dqExactDupSql,
     "dq_minhash" -> dqMinHashSql,
     "dq_simhash" -> dqSimHashSql,
+    "dq_simhash_neardup" -> dqSimHashNearDupSql,
     "dq_ngram_jaccard" -> dqNgramJaccardSql,
     "dq_completeness" -> dqCompletenessSql,
     "dq_extreme_zscore" -> dqExtremeZscoreSql,
