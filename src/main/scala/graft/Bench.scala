@@ -88,6 +88,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ≥4 tasks/core on parquet scans (cache partitioning follows the
+      // scan; 128 MB default = ~1.5 waves at 32 cores — see ScalingBench)
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // the feature cache carries raw text; columnar compression burns CPU

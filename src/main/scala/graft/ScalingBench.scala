@@ -19,6 +19,14 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // parquet-scan split size governs the FEATURE CACHE's partition
+      // count (the cache inherits scan partitioning), and the default
+      // 128 MB yields ~1.5 task waves at 32 cores on the bench tables —
+      // wave-quantization, not compute, then caps measured scaling. 32 MB
+      // keeps every level at ≥4 tasks/core (the same sizing a production
+      // cluster job would set; prompt guidance: size maxPartitionBytes so
+      // partitions fit and cores stay busy).
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // the feature cache carries the raw text column; columnar-cache
       // compression burns CPU on exactly the memory-bandwidth-bound stage
