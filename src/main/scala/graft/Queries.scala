@@ -986,15 +986,40 @@ object Queries {
       |WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.99
       |ORDER BY dup_id""".stripMargin
 
-  /** Multimodal frame-sampling plumbing (stub decode — no oracle; the
-    * frame hash is engine-internal FNV).
+  /** Multimodal frame-sampling plumbing, oracle-checked end-to-end:
+    * frames are 256-byte slices of the binary payload (stride 2, same
+    * geometry as the typed engine kernel
+    * [[graft.multimodal.Multimodal.sampleFrames]], which stays the
+    * production path with its cheap FNV hash — CoverageSpec covers it).
+    * The PORTABLE frame hash here is md5Long over the UPPERCASE HEX of
+    * the slice: DuckDB's md5 only accepts VARCHAR, so the hex string —
+    * identical in both engines — is the portable hashing domain. This
+    * closes the last no-oracle query: slicing geometry, explode shape
+    * and per-frame hashing are all verified against DuckDB.
     */
   val mmFrameSample: (SparkSession, String) => DataFrame = (s, dir) => {
     val withPayload = docs(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    graft.multimodal.Multimodal.sampleFrames(withPayload, 2).toDF()
+    val nf = greatest(lit(1L), floor(length(col("payload")) / lit(256)).cast(LongType))
+    val sliceHex = upper(col("__hx"))
+      .substr((col("frame_idx") * 512 + 1).cast("int"), lit(512))
+    withPayload
+      .withColumn("__hx", hex(col("payload")))
+      .withColumn("frame_idx", explode(sequence(lit(0L), nf - 1, lit(2L))))
+      .select(col("doc_id"), col("frame_idx"),
+        conv(substring(md5(encode(sliceHex, "UTF-8")), 1, 15), 16, 10)
+          .cast(LongType).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  val mmFrameSampleSql: String =
+    s"""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+       |h AS (SELECT doc_id, upper(hex(payload)) AS hx,
+       |        greatest(1, octet_length(payload) // 256) AS nf FROM p),
+       |f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx, hx FROM h)
+       |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       | ${Frag.md5Long("substr(hx, (frame_idx*512+1)::INT, 512)")} AS frame_hash
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   /** REAL image metadata path: every doc gets a genuine PNG payload
     * (ImageIO-encoded, solid color) whose dimensions derive from the doc
@@ -1089,8 +1114,7 @@ object Queries {
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
     "emb_ann_lsh" -> embAnnLshSql, // planted-copy subset: exact (scaladoc)
-    // mm_frame_sample: intentionally no oracle
-    // (engine-internal FNV frame hashes; rows-only check)
+    "mm_frame_sample" -> mmFrameSampleSql, // hex-domain md5 frame hash
     "emb_cosine_dedup" -> embCosineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_media_meta" -> mmMediaMetaSql,
