@@ -28,6 +28,13 @@ object Multimodal {
     * Returns None when no reader claims the payload (audio/video/opaque
     * bytes — those fall back to [[decodeStub]]).
     */
+  // ImageIO defaults to a FILE-backed stream cache — every encode/decode
+  // creates and deletes a temp file, serializing executor threads on
+  // filesystem metadata (measured: 5.6 s for 5k tiny PNGs at 32 threads,
+  // ~0.9 s with the heap cache). Heap-backed is strictly better for the
+  // small per-record payloads this path handles.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
