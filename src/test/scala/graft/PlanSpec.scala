@@ -70,6 +70,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan"), plan.take(400))
   }
 
+
+  test("dq_simhash_neardup: bucket-bounded equi-join, no cartesian / nested-loop") {
+    // pigeonhole chunk banding must discover candidates via an equi-join
+    // on the bucket id — an all-pairs formulation would show up here as a
+    // cartesian or broadcast-nested-loop join over the corpus
+    val plan = physical(Queries.dqSimHashNearDup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in dq_simhash_neardup: ${plan.take(800)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in dq_simhash_neardup: ${plan.take(800)}")
+  }
+
   test("whole-stage codegen covers the scalar feature expressions") {
     // NOTE: higher-order array functions (filter/transform/aggregate) are
     // interpreted in Spark — only scalar expression chains codegen. The

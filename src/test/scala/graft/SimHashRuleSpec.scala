@@ -73,6 +73,30 @@ class SimHashRuleSpec extends AnyFunSuite {
       s"simhash ($simCaught) lags minhash ($mhCaught) by more than 10%")
   }
 
+  test("hot-bucket hub regime: maxBucket=1 forces hub pairing everywhere; precision holds, no detonation") {
+    // the df-cap contract: when a chunk bucket exceeds maxBucket the rule
+    // degrades to O(|bucket|) hub pairs (recall on that bucket is best
+    // effort — documented), but it must NEVER emit a pair beyond
+    // maxHamming nor do quadratic work. Forcing maxBucket=1 exercises the
+    // hub path on every bucket.
+    val hubOnly = Rules.simHashNearDup(feat, col("url"), col("simhash"),
+      maxHamming = 3, maxBucket = 1)
+    val all = Rules.simHashNearDup(feat, col("url"), col("simhash"),
+      maxHamming = 3)
+    val shOf = feat.select("url", "simhash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hubRows = hubOnly.collect()
+    hubRows.foreach { r =>
+      val d = java.lang.Long.bitCount(shOf(r.getString(0)) ^ shOf(r.getString(4)))
+      assert(d <= 3, s"hub regime flagged ${r.getString(0)} at Hamming $d")
+    }
+    // hub verdicts are a SUBSET of the all-pairs regime's flagged urls
+    val allSet = all.collect().map(_.getString(0)).toSet
+    val hubSet = hubRows.map(_.getString(0)).toSet
+    assert(hubSet.subsetOf(allSet),
+      s"hub regime flagged urls the exact regime did not: ${(hubSet -- allSet).take(3)}")
+  }
+
   test("pigeonhole banding emits no pair beyond maxHamming (precision of verify)") {
     val verdicts = Rules.simHashNearDup(feat, col("url"), col("simhash"),
       maxHamming = 3)
