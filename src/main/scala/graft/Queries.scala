@@ -446,9 +446,21 @@ object Queries {
 
   /** Corpus z-score extremes on n_chars, k=2; boundary-EQUAL values are
     * flagged — the reference's `~((x>lo)&(x<hi))` quirk (utils.py:229-231).
+    *
+    * The driver corpus is well-behaved at every SF (n_chars ∈ [48, 577],
+    * sd ≈ 138 — everything inside ±2sd), so three extreme rows are
+    * PLANTED (the [[dqExactDup]] augmentation pattern) to make the rule
+    * fire on nonzero rows: at 30k/55k/80k chars the planted rows dominate
+    * the variance (sd ≈ 1.4–3.8k ⇒ hi-bound ≈ 3.2–8.3k ≪ 30k) while the
+    * base corpus stays inside the widened band — exactly the 3 planted
+    * rows flag, at sf0.001 through sf0.1 alike.
     */
   val dqExtremeZscore: (SparkSession, String) => DataFrame = (s, dir) => {
-    val d = docs(s, dir)
+    val base = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val planted = s.range(3).select(
+      (col("id") + lit(998001L)).as("doc_id"),
+      (lit(30000L) + col("id") * lit(25000L)).as("n_chars"))
+    val d = base.unionByName(planted)
     val st = d.agg(avg(col("n_chars").cast(DoubleType)).as("m"),
       stddev_samp(col("n_chars").cast(DoubleType)).as("sd"))
     d.crossJoin(broadcast(st))
@@ -460,9 +472,13 @@ object Queries {
   }
 
   val dqExtremeZscoreSql: String =
-    """WITH s AS (SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS sd FROM documents)
+    """WITH aug AS (
+      |  SELECT doc_id, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 998001 + i AS doc_id, 30000 + i * 25000 AS n_chars FROM range(3) t(i)
+      |), s AS (SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS sd FROM aug)
       |SELECT doc_id, n_chars, round((n_chars - s.m) / s.sd, 6) AS z
-      |FROM documents, s
+      |FROM aug, s
       |WHERE NOT (n_chars > s.m - 2 * s.sd AND n_chars < s.m + 2 * s.sd)
       |ORDER BY doc_id""".stripMargin
 
@@ -512,8 +528,24 @@ object Queries {
     * then flag violators.
     */
   val dqTendency: (SparkSession, String) => DataFrame = (s, dir) => {
-    val d = docs(s, dir)
+    val f = docs(s, dir)
       .withColumn("n_words", TextFns.wordCountFast(col("text")).cast(LongType))
+      .select(col("doc_id"), col("n_chars"), col("n_words"))
+    // The driver corpus is 100% conforming at every SF — the gate arms at
+    // p = 1.0 but has zero violators, and ONE violator in 500 rows drops
+    // p to 0.998 and DISARMS the rule (denominator = all rows, the
+    // reference's quirk). So the conforming feature rows are replicated
+    // 8× (cheap: features are computed once, replication is an 8-row
+    // explode of 3 longs) and TWO violators planted:
+    // p = 4000/4002 ≈ 0.9995 > 0.999 ⇒ armed, 2 rows flag.
+    val rep = f.withColumn("k", explode(sequence(lit(0L), lit(7L))))
+      .select((col("doc_id") + col("k") * lit(1000000L)).as("doc_id"),
+        col("n_chars"), col("n_words"))
+    val planted = s.range(2).select(
+      (col("id") + lit(998001L)).as("doc_id"),
+      (lit(1000L) + col("id") * lit(1000L)).as("n_chars"),
+      lit(1L).as("n_words"))
+    val d = rep.unionByName(planted)
     val st = d.agg((sum((col("n_chars") < lit(8) * col("n_words")).cast(LongType))
       .cast(DoubleType) / count(lit(1))).as("p"))
     d.crossJoin(broadcast(st))
@@ -524,9 +556,16 @@ object Queries {
 
   val dqTendencySql: String =
     s"""WITH f AS (SELECT doc_id, n_chars, ${Frag.nWords("text")}::BIGINT AS n_words FROM documents),
-       |s AS (SELECT sum(CASE WHEN n_chars < 8 * n_words THEN 1 ELSE 0 END)::DOUBLE / count(*) AS p FROM f)
+       |rep AS (SELECT f.doc_id + r.k * 1000000 AS doc_id, f.n_chars, f.n_words
+       |        FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS k) r),
+       |aug AS (
+       |  SELECT * FROM rep
+       |  UNION ALL
+       |  SELECT 998001 + i AS doc_id, 1000 + i * 1000 AS n_chars, 1 AS n_words FROM range(2) t(i)
+       |),
+       |s AS (SELECT sum(CASE WHEN n_chars < 8 * n_words THEN 1 ELSE 0 END)::DOUBLE / count(*) AS p FROM aug)
        |SELECT doc_id, n_chars, n_words, round(s.p, 6) AS p
-       |FROM f, s
+       |FROM aug, s
        |WHERE s.p > 0.999 AND n_chars > 8 * n_words
        |ORDER BY doc_id""".stripMargin
 
@@ -672,7 +711,15 @@ object Queries {
     * operator two groupBys and one bounded window.
     */
   val dqTypoSuggest: (SparkSession, String) => DataFrame = (s, dir) => {
-    val toks = docs(s, dir)
+    // The driver corpus draws from a ~30-token vocabulary where every
+    // token appears ≥ 26 times — no natural rares, so the rule matched on
+    // the empty set. Plant one doc of misspellings of 'the' (count ≥ 840
+    // at every SF): 'tbe' (cnt 1) and 'tge' (cnt 2) share its cluster key
+    // 'te3' (first + last + length) ⇒ both flag with 'the' in their
+    // suggestion list.
+    val aug = docs(s, dir).select(col("text"))
+      .unionByName(s.range(1).select(lit("tbe tge tge").as("text")))
+    val toks = aug
       .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
       .filter(length(col("tok")) >= 3)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -696,8 +743,9 @@ object Queries {
 
   val dqTypoSuggestSql: String = {
     val toksLower = Frag.toks("lower(text)")
-    s"""WITH toks AS (
-       |  SELECT unnest($toksLower) AS tok FROM documents
+    s"""WITH aug AS (SELECT text FROM documents UNION ALL SELECT 'tbe tge tge' AS text),
+       |toks AS (
+       |  SELECT unnest($toksLower) AS tok FROM aug
        |), t2 AS (SELECT tok FROM toks WHERE length(tok) >= 3),
        |vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
        |v2 AS (SELECT tok, cnt,
