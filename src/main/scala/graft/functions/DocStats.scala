@@ -64,7 +64,9 @@ object DocStats {
     StructField("fingerprint", LongType, nullable = false),
     StructField("simhash", LongType, nullable = false),
     StructField("minhash_sig", ArrayType(LongType, containsNull = true), nullable = false),
-    StructField("band_keys", ArrayType(LongType, containsNull = false), nullable = false)
+    StructField("band_keys", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("simhash_hi", LongType, nullable = false),
+    StructField("simhash_lo", LongType, nullable = false)
   ))
 
   val ShingleSize = 5
@@ -100,7 +102,8 @@ object DocStats {
       toxicityHits: Int, nLines: Int, nDistinctLines: Int,
       dupLineRatio: Double, lang: String, langScore: Double,
       perplexity: Double, fingerprint: Long, simhash: Long,
-      minhash: Array[java.lang.Long]) {
+      minhash: Array[java.lang.Long],
+      simhashHi: Long = 0L, simhashLo: Long = 0L) {
     /** LSH band keys over the signature — same formula as the composed
       * [[Hashing.bandKeys]] (pmod rolling hash of each row group), but
       * computed in a tight loop. The composed slice+aggregate HOFs are
@@ -177,31 +180,31 @@ object DocStats {
   }
 
   /** String entry point (tests/micro-bench); dispatches like [[computeU]]. */
-  def compute(text: String, minHashK: Int): Result = {
+  def compute(text: String, minHashK: Int, wide: Boolean = false): Result = {
     val n = text.length
     var ascii = true
     var i = 0
     while (i < n && ascii) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
     if (ascii)
-      computeBytes(text.getBytes(java.nio.charset.StandardCharsets.US_ASCII), minHashK)
-    else computeChars(text, minHashK)
+      computeBytes(text.getBytes(java.nio.charset.StandardCharsets.US_ASCII), minHashK, wide)
+    else computeChars(text, minHashK, wide)
   }
 
   /** UTF8String entry point (the expression's hot path): pure-ASCII docs
     * never materialise a String/char[].
     */
-  def computeU(u: UTF8String, minHashK: Int): Result = {
+  def computeU(u: UTF8String, minHashK: Int, wide: Boolean = false): Result = {
     val b = u.getBytes
     var ascii = true
     var i = 0
     while (i < b.length && ascii) { if (b(i) < 0) ascii = false; i += 1 }
-    if (ascii) computeBytes(b, minHashK) else computeChars(u.toString, minHashK)
+    if (ascii) computeBytes(b, minHashK, wide) else computeChars(u.toString, minHashK, wide)
   }
 
   // ---------------------------------------------------------------------
   // ASCII byte path — the bandwidth-lean hot path
   // ---------------------------------------------------------------------
-  private def computeBytes(b: Array[Byte], minHashK: Int): Result = {
+  private def computeBytes(b: Array[Byte], minHashK: Int, wide: Boolean): Result = {
     val n = b.length
     // --- raw pass: symbols + lines ---
     var symbols = 0
@@ -304,6 +307,7 @@ object DocStats {
     }
     val (lang, langScore) = argmaxLang(lidScores, grams, lid.langs)
     val perplexity = if (grams == 0) 1.0 else math.exp(-lmLogSum / grams)
+    val sh128 = if (wide) simhash128Of(tokHashes) else Zero128
 
     Result(
       nChars = n,
@@ -316,13 +320,15 @@ object DocStats {
       lang = lang, langScore = langScore, perplexity = perplexity,
       fingerprint = fnv1aB(norm, 0, m),
       simhash = simhash60Of(tokHashes),
-      minhash = minhashOf(tokHashes, minHashK))
+      minhash = minhashOf(tokHashes, minHashK),
+      simhashHi = sh128(0),
+      simhashLo = sh128(1))
   }
 
   // ---------------------------------------------------------------------
   // char fallback — non-ASCII docs; code-point-correct counting
   // ---------------------------------------------------------------------
-  private def computeChars(text: String, minHashK: Int): Result = {
+  private def computeChars(text: String, minHashK: Int, wide: Boolean): Result = {
     val n = text.length
     // --- raw-text pass: code points, symbols + lines ---
     var nChars = 0
@@ -433,6 +439,7 @@ object DocStats {
     }
     val (lang, langScore) = argmaxLang(lidScores, grams, lid.langs)
     val perplexity = if (grams == 0) 1.0 else math.exp(-lmLogSum / grams)
+    val sh128 = if (wide) simhash128Of(tokHashes) else Zero128
 
     Result(
       nChars = nChars,
@@ -445,7 +452,9 @@ object DocStats {
       lang = lang, langScore = langScore, perplexity = perplexity,
       fingerprint = fnv1a(norm, 0, norm.length),
       simhash = simhash60Of(tokHashes),
-      minhash = minhashOf(tokHashes, minHashK))
+      minhash = minhashOf(tokHashes, minHashK),
+      simhashHi = sh128(0),
+      simhashLo = sh128(1))
   }
 
   // ---------------------------------------------------------------------
@@ -493,6 +502,57 @@ object DocStats {
     var b = 0
     while (b < 60) { if (2 * votes(b) >= nTok) sh |= (1L << b); b += 1 }
     sh
+  }
+
+  private val Zero128 = Array(0L, 0L)
+
+  /** SplitMix64 finalizer — expands each 64-bit token hash into a second,
+    * statistically independent 64 bits for the wide fingerprint (the
+    * standard trick when the base hash is narrower than the fingerprint;
+    * same mixer as java.util.SplittableRandom).
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 128-bit SimHash (frequency-weighted, same vote rule as
+    * [[simhash60Of]]): bits 0–63 vote on the raw FNV token hash, bits
+    * 64–127 on its SplitMix64 remix. Returns Array(hi, lo). This is the
+    * production fingerprint for the 10⁹⁺-doc near-dup regime
+    * ([[graft.rules.Rules.simHashNearDupWide]]): 60 bits only offer
+    * 15-bit pigeonhole chunks (32k values — saturated buckets at 10⁹
+    * docs), while 128 bits band into 32-bit block-pair keys that stay
+    * discriminating at any web-corpus size. Opt-in (`wide` flag): +128
+    * votes/token on top of the 60 the narrow fingerprint already pays,
+    * only in the regime that needs them.
+    */
+  private def simhash128Of(tokHashes: java.util.ArrayList[Long]): Array[Long] = {
+    val nTok = tokHashes.size()
+    if (nTok == 0) return Zero128
+    val votes = new Array[Int](128)
+    var t = 0
+    while (t < nTok) {
+      val lo = tokHashes.get(t)
+      val hi = mix64(lo)
+      var b = 0
+      while (b < 64) {
+        if (((lo >>> b) & 1L) != 0L) votes(b) += 1
+        if (((hi >>> b) & 1L) != 0L) votes(64 + b) += 1
+        b += 1
+      }
+      t += 1
+    }
+    var shLo = 0L; var shHi = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * votes(b) >= nTok) shLo |= (1L << b)
+      if (2 * votes(64 + b) >= nTok) shHi |= (1L << b)
+      b += 1
+    }
+    Array(shHi, shLo)
   }
 
   private def minhashOf(tokHashes: java.util.ArrayList[Long],
@@ -556,26 +616,28 @@ object DocStats {
     * regime outright for the production pipeline.
     */
   def docStats(c: Column, minHashK: Int, bands: Int = 8,
-               rowsPerBand: Int = 4): Column =
+               rowsPerBand: Int = 4, wideSimHash: Boolean = false): Column =
     GraftExpr.column(DocStatsExpr(GraftExpr.expr(c), minHashK,
-      math.min(bands, minHashK / rowsPerBand), rowsPerBand))
+      math.min(bands, minHashK / rowsPerBand), rowsPerBand, wideSimHash))
 }
 
 case class DocStatsExpr(child: Expression, minHashK: Int,
-                        bands: Int = 8, rowsPerBand: Int = 4)
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        wideSimHash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DocStats.schema
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any = {
-    val r = DocStats.computeU(input.asInstanceOf[UTF8String], minHashK)
+    val r = DocStats.computeU(input.asInstanceOf[UTF8String], minHashK, wideSimHash)
     InternalRow(
       r.nChars, r.nWords, r.meanWordLen, r.symbolRatio, r.stopwordRatio,
       r.toxicityHits, r.nLines, r.nDistinctLines, r.dupLineRatio,
       UTF8String.fromString(r.lang), r.langScore, r.perplexity,
       r.fingerprint, r.simhash,
       new GenericArrayData(r.minhash.asInstanceOf[Array[Any]]),
-      new GenericArrayData(r.bandKeysOf(bands, rowsPerBand)))
+      new GenericArrayData(r.bandKeysOf(bands, rowsPerBand)),
+      r.simhashHi, r.simhashLo)
   }
 
   override protected def withNewChildInternal(newChild: Expression): DocStatsExpr =

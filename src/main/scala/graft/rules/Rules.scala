@@ -102,17 +102,69 @@ object Rules {
     // key (natural-language bit bias concentrates chunk values), so
     // buckets legitimately hold many UNRELATED docs and hub-only pairing
     // would drop a true pair whenever a chance collider owns the hub.
-    // Two regimes, split by measured bucket size:
-    //  - |bucket| ≤ maxBucket: ALL-PAIRS within the bucket — bounded at
-    //    maxBucket²/2 pairs, exact recall for Hamming ≤ maxHamming (the
-    //    pigeonhole guarantees a shared chunk);
-    //  - |bucket| > maxBucket: hub pairing only — the df-cap pattern
-    //    (same contract as the MinHash path's hub star and the n-gram
-    //    df cap): a bucket that hot is a degenerate discriminator, and
-    //    O(|bucket|²) on it is exactly the detonation this engine never
-    //    allows. Production note: at 10⁹+ docs, 15-bit chunks saturate —
-    //    widen the fingerprint (128-bit, 4×32-bit chunks) rather than
-    //    raising maxBucket.
+    // Two regimes, split by measured bucket size (see [[nearDupCore]]).
+    // Production note: at 10⁹+ docs, 15-bit chunks saturate — switch to
+    // the 128-bit fingerprint and [[simHashNearDupWide]] rather than
+    // raising maxBucket.
+    nearDupCore(ex, graft.functions.Hashing.hammingDist,
+      maxHamming, maxBucket, "near_dup_simhash")
+  }
+
+  /** Wide (128-bit) SimHash near-dup rule — the production regime for
+    * 10⁹⁺-doc corpora, where the 60-bit rule's 15-bit pigeonhole chunks
+    * (32k values) saturate into all-hub buckets. Candidate discovery is
+    * the block-permuted banding of Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling" (WWW '07): the fingerprint
+    * ([[graft.functions.DocStats]]'s `simhash_hi`/`simhash_lo`, opt-in
+    * `wideSimHash` kernel output) splits into 8 16-bit blocks, and every
+    * C(8,2) = 28 block PAIR concatenates into a 32-bit candidate key.
+    * If two fingerprints differ in ≤ 6 bits, those bits touch ≤ 6
+    * blocks, so ≥ 2 blocks match exactly and some pair key collides —
+    * EXACT recall for Hamming ≤ 6 (= the 60-bit rule's 3-of-60
+    * dissimilarity level at 128 bits: a near-dup edit flips a bit-count
+    * proportional to fingerprint width), with 4×10⁹ distinct key values
+    * per combination so buckets stay person-sized at any corpus scale.
+    * Cost: 28 narrow (url, 16B sig, 8B key) rows per doc through ONE
+    * groupBy shuffle — the Manku tradeoff (more tables, smaller buckets).
+    */
+  def simHashNearDupWide(df: DataFrame, key: Column, hi: Column, lo: Column,
+                         maxHamming: Int = 6, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"block-pair banding over 8 blocks is exact only for Hamming <= 6 (got $maxHamming)")
+    val t = df.select(key.as("__url"),
+      struct(hi.as("hi"), lo.as("lo")).as("__sh"))
+    def blockOf(b: Int): Column = {
+      val src = if (b < 4) col("__sh.lo") else col("__sh.hi")
+      shiftrightunsigned(src, (b % 4) * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    val combos = for { a <- 0 until 8; b <- a + 1 until 8 } yield (a, b)
+    val keyCols = combos.zipWithIndex.map { case ((a, b), ci) =>
+      lit(ci.toLong << 32) + shiftleft(blockOf(a), 16) + blockOf(b)
+    }
+    val ex = t.select(col("__url"), col("__sh"),
+      explode(array(keyCols: _*)).as("bucket"))
+    val dist = (a: Column, b: Column) =>
+      graft.functions.Hashing.hammingDist(a.getField("hi"), b.getField("hi")) +
+        graft.functions.Hashing.hammingDist(a.getField("lo"), b.getField("lo"))
+    nearDupCore(ex, dist, maxHamming, maxBucket, "near_dup_simhash_wide")
+  }
+
+  /** Shared bucket machinery of the SimHash rules. `ex` is the exploded
+    * (bucket, __url, __sh) candidate universe; `dist` compares two `__sh`
+    * values (plain long or (hi, lo) struct). Two regimes, split by
+    * MEASURED bucket size:
+    *  - |bucket| ≤ maxBucket: ALL-PAIRS within the bucket — bounded at
+    *    maxBucket²/2 pairs, exact recall (the banding scheme guarantees
+    *    every qualifying pair shares a bucket);
+    *  - |bucket| > maxBucket: hub pairing only — the df-cap pattern
+    *    (same contract as the MinHash path's hub star and the n-gram
+    *    df cap): a bucket that hot is a degenerate discriminator, and
+    *    O(|bucket|²) on it is exactly the detonation this engine never
+    *    allows.
+    */
+  private def nearDupCore(ex: DataFrame, dist: (Column, Column) => Column,
+                          maxHamming: Int, maxBucket: Int,
+                          rule: String): DataFrame = {
     val sizes = ex.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
     val exS = ex.join(sizes, Seq("bucket")).filter(col("__n") > 1)
     val small = exS.filter(col("__n") <= maxBucket)
@@ -134,15 +186,13 @@ object Rules {
         when(col("__url") < col("__hub_url"), col("__hub_sh"))
           .otherwise(col("__sh")).as("__s2"))
     val verified = pairsSmall.unionByName(pairsBig)
-      .filter(graft.functions.Hashing.hammingDist(col("__s1"), col("__s2"))
-        <= maxHamming)
+      .filter(dist(col("__s1"), col("__s2")) <= maxHamming)
     val flagged = verified.select(
       col("__u2").as("__drop"), col("__u1").as("__keep"),
-      graft.functions.Hashing.hammingDist(col("__s1"), col("__s2")).as("__dist"))
+      dist(col("__s1"), col("__s2")).as("__dist"))
       .groupBy(col("__drop"))
       .agg(min(col("__keep")).as("__keep"), min(col("__dist")).as("__dist"))
-    verdict(flagged, col("__drop"), "near_dup_simhash",
-      col("__dist"), col("__keep"))
+    verdict(flagged, col("__drop"), rule, col("__dist"), col("__keep"))
   }
 
   /** Z-score extremes (`utils.py:190-232`). The reference's quirk is kept:
