@@ -148,24 +148,28 @@ object DocStats {
     * bit-for-bit (DocStatsSpec cross-validates against the String-keyed
     * reference models).
     */
-  private lazy val fusedTable: LongPayloadMap = {
+  private lazy val fusedTable: LongPackedMap = {
     val lidM = LangIdModel.model
     val nLangs = lidM.langs.length
     val grams = scala.collection.mutable.HashSet[String]()
     lidM.logProb.foreach(hm => hm.keySet().forEach(g => grams += g))
     CharLm.model.cnt.keySet().forEach(g => grams += g)
-    val t = new LongPayloadMap(grams.size, nLangs + 1)
+    // packed rows: 9 float32 lang scores (2/long) + 1 double LM log-prob
+    // = 48 B/row vs the previous 80 — the model quantizes lang scores to
+    // float32 at build ([[LangIdModel.model]]), so packing is LOSSLESS
+    // and the unpacked sums are bit-identical to the all-double table
+    val t = new LongPackedMap(grams.size, nLangs)
     grams.foreach { g =>
       val off = t.slotFor(fnv1a(g, 0, g.length))
       var l = 0
       while (l < nLangs) {
         val v = lidM.logProb(l).get(g)
-        t.values(off + l) =
-          if (v == null) lidM.defaultLogProb(l) else v.doubleValue()
+        t.putFloat(off, l,
+          (if (v == null) lidM.defaultLogProb(l) else v.doubleValue()).toFloat)
         l += 1
       }
       val c = CharLm.model.cnt.get(g)
-      t.values(off + nLangs) =
+      t.putDouble(off,
         if (c == null) 1.0
         else {
           // same expression as CharLm.fastGramLogProb — identical doubles
@@ -174,7 +178,7 @@ object DocStats {
           val den = (if (cc == null) 0.0 else cc.doubleValue()) +
             CharLm.Alpha * CharLm.model.vocab
           math.log((c.doubleValue() + CharLm.Alpha) / den)
-        }
+        })
     }
     t
   }
@@ -290,8 +294,15 @@ object DocStats {
         var lp = 1.0
         if (off >= 0) {
           var l = 0
-          while (l < nLangs) { lidScores(l) += fvals(off + l); l += 1 }
-          lp = fvals(off + nLangs)
+          while (l + 1 < nLangs) {
+            val bits = fvals(off + (l >> 1))
+            lidScores(l) += java.lang.Float.intBitsToFloat(bits.toInt)
+            lidScores(l + 1) += java.lang.Float.intBitsToFloat((bits >>> 32).toInt)
+            l += 2
+          }
+          if (l < nLangs)
+            lidScores(l) += java.lang.Float.intBitsToFloat(fvals(off + (l >> 1)).toInt)
+          lp = java.lang.Double.longBitsToDouble(fvals(off + fused.tailSlot))
         } else {
           var l = 0
           while (l < nLangs) { lidScores(l) += dflts(l); l += 1 }
@@ -422,8 +433,15 @@ object DocStats {
         var lp = 1.0
         if (off >= 0) {
           var l = 0
-          while (l < nLangs) { lidScores(l) += fvals(off + l); l += 1 }
-          lp = fvals(off + nLangs)
+          while (l + 1 < nLangs) {
+            val bits = fvals(off + (l >> 1))
+            lidScores(l) += java.lang.Float.intBitsToFloat(bits.toInt)
+            lidScores(l + 1) += java.lang.Float.intBitsToFloat((bits >>> 32).toInt)
+            l += 2
+          }
+          if (l < nLangs)
+            lidScores(l) += java.lang.Float.intBitsToFloat(fvals(off + (l >> 1)).toInt)
+          lp = java.lang.Double.longBitsToDouble(fvals(off + fused.tailSlot))
         } else {
           var l = 0
           while (l < nLangs) { lidScores(l) += dflts(l); l += 1 }
@@ -495,7 +513,10 @@ object DocStats {
     while (t < nTok) {
       val h = tokHashes.get(t)
       var b = 0
-      while (b < 60) { if (((h >>> b) & 1L) != 0L) votes(b) += 1; b += 1 }
+      // branchless: the bit IS the increment (a data-dependent branch here
+      // mispredicts ~50% on hash bits — measured as a large share of the
+      // voting cost at ~9k votes/doc)
+      while (b < 60) { votes(b) += ((h >>> b) & 1L).toInt; b += 1 }
       t += 1
     }
     var sh = 0L
@@ -539,8 +560,8 @@ object DocStats {
       val hi = mix64(lo)
       var b = 0
       while (b < 64) {
-        if (((lo >>> b) & 1L) != 0L) votes(b) += 1
-        if (((hi >>> b) & 1L) != 0L) votes(64 + b) += 1
+        votes(b) += ((lo >>> b) & 1L).toInt
+        votes(64 + b) += ((hi >>> b) & 1L).toInt
         b += 1
       }
       t += 1
@@ -587,14 +608,21 @@ object DocStats {
     val params = Hashing.hashParamsArray(minHashK)
     val sig = new Array[java.lang.Long](minHashK)
     if (shingleHashes.nonEmpty) {
+      // hoist the perm-independent floorMod out of the k-loop: it is a
+      // full 64-bit division per (perm, shingle) otherwise — at k=32 the
+      // single hottest arithmetic in the kernel
+      var s = 0
+      while (s < shingleHashes.length) {
+        shingleHashes(s) = java.lang.Math.floorMod(shingleHashes(s), Hashing.P)
+        s += 1
+      }
       var p = 0
       while (p < minHashK) {
         val a = params(p)(0); val b = params(p)(1)
         var mn = Long.MaxValue
-        var s = 0
+        s = 0
         while (s < shingleHashes.length) {
-          val base = java.lang.Math.floorMod(shingleHashes(s), Hashing.P)
-          val v = (a * base + b) % Hashing.P
+          val v = (a * shingleHashes(s) + b) % Hashing.P
           if (v < mn) mn = v
           s += 1
         }

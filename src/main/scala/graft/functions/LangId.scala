@@ -183,15 +183,26 @@ object LangIdModel {
       m
     }
     val v = vocab.size.toDouble
+    // Per-language log-probs are float32 BY DEFINITION of the model (then
+    // summed in double): the fused kernel table packs two lang scores per
+    // 8 bytes (48 B/row instead of 80 — the dominant kernel cost is this
+    // table's cache footprint, BENCH.md), and quantizing at the SOURCE
+    // keeps every path — String-keyed reference, LongDoubleMap tables,
+    // packed fused table — summing bit-identical values (a float widened
+    // to double is exact), so the cross-validation specs stay exact
+    // equality. Scores shift by ~1e-7 relative; per-language margins are
+    // O(0.1) (LangIdSpec floors).
     val lp = langs.indices.map { i =>
       val tot = counts(i).values.sum + Alpha * v
       val hm = new java.util.HashMap[String, java.lang.Double]()
-      counts(i).foreach { case (g, c) => hm.put(g, math.log((c + Alpha) / tot)) }
+      counts(i).foreach { case (g, c) =>
+        hm.put(g, math.log((c + Alpha) / tot).toFloat.toDouble)
+      }
       hm
     }.toArray
     val dflt = langs.indices.map { i =>
       val tot = counts(i).values.sum + Alpha * v
-      math.log(Alpha / tot)
+      math.log(Alpha / tot).toFloat.toDouble
     }.toArray
     Model(langs, lp, dflt)
   }
