@@ -1097,6 +1097,38 @@ object Queries {
       | 'png' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL audio metadata path: every doc gets a genuine WAV payload
+    * (JDK `javax.sound.sampled` WAVE writer) whose sample-rate, channel
+    * count and frame count derive from the doc id — the header decode
+    * (RIFF magic → AudioFileFormat) is oracle-checked end-to-end, the
+    * same pattern as [[mmMediaMeta]]'s ImageIO PNGs. n_bytes is the
+    * encoded container size (not SQL-derivable) and stays out of the
+    * oracle projection.
+    */
+  val mmAudioMeta: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val withPayload = docs(s, dir).select(col("doc_id").cast(LongType)).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.makeWav(
+          8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+          64 + (id % 32).toInt, id))
+      }
+      .toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.extractAudioMeta(withPayload).toDF()
+      .select("doc_id", "magic_hex", "sample_rate", "channels", "bits",
+        "n_frames", "format")
+      .orderBy("doc_id")
+  }
+
+  val mmAudioMetaSql: String =
+    """SELECT doc_id, '52494646' AS magic_hex,
+      | (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+      | (1 + doc_id % 2)::INT AS channels,
+      | 16::INT AS bits,
+      | (64 + doc_id % 32)::BIGINT AS n_frames,
+      | 'wav' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1129,6 +1161,7 @@ object Queries {
     "emb_cosine_dedup" -> embCosineDedup,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_media_meta" -> mmMediaMeta,
+    "mm_audio_meta" -> mmAudioMeta,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1166,6 +1199,7 @@ object Queries {
     "emb_cosine_dedup" -> embCosineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_media_meta" -> mmMediaMetaSql,
+    "mm_audio_meta" -> mmAudioMetaSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "q_year_fraction" -> qYearFractionSql,

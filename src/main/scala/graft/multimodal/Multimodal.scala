@@ -72,11 +72,79 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for codec-less modalities (audio/video): deterministic
-    * fake dims/format from the payload bytes. Real deployment: replace
-    * body with an actual codec — the signature and everything downstream
-    * is unchanged. (Images no longer hit this path: [[decodeImage]] is
-    * real.)
+  final case class AudioMeta(
+      doc_id: Long, n_bytes: Long, magic_hex: String,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      format: String)
+
+  /** REAL audio header decode via the JDK-bundled `javax.sound.sampled`
+    * providers (WAV/AIFF/AU readers ship with the JDK — the same
+    * zero-external-jar story as ImageIO). Header-only: sample rate,
+    * channel count, sample width and frame count come from the RIFF/AIFF
+    * header without decoding any PCM. Returns None when no provider
+    * claims the payload (video/opaque bytes).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong, aff.getType.getExtension))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Deterministic PCM16 WAV — REAL `javax.sound.sampled` encode (an
+    * actual RIFF container written by the JDK's WAVE writer). Fixture
+    * generators plant these so the decoded sample-rate/channels/frame
+    * count become oracle-checkable facts derived from the doc id.
+    */
+  def makeWav(sampleRate: Int, channels: Int, nFrames: Int,
+              seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2 * channels)
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < pcm.length) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      pcm(i) = (h >>> 56).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Typed audio metadata extraction over (doc_id, payload) — same
+    * batched per-partition shape as [[extractMeta]], zero shuffle.
+    * Payloads no provider recognises surface as (0, 0, 0, -1, unknown)
+    * rather than failing the partition.
+    */
+  def extractAudioMeta(df: DataFrame): Dataset[AudioMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (sr, ch, bits, frames, fmt) =
+            decodeAudio(bytes).getOrElse((0, 0, 0, -1L, "unknown"))
+          val magic = bytes.take(4).map(b => f"$b%02X").mkString
+          AudioMeta(id, bytes.length.toLong, magic, sr, ch, bits, frames, fmt)
+        }
+      }
+  }
+
+  /** STUB decode for the one remaining codec-less modality (video):
+    * deterministic fake dims/format from the payload bytes. Real
+    * deployment: replace body with an actual codec — the signature and
+    * everything downstream is unchanged. (Images decode for real via
+    * [[decodeImage]]; audio headers via [[decodeAudio]].)
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
     var h = 0xcbf29ce484222325L
