@@ -172,12 +172,35 @@ object LangIdModel {
     else (0 to n.length - NGram).iterator.map(i => n.substring(i, i + NGram))
   }
 
-  lazy val model: Model = {
-    val langs = SeedCorpus.keys.toArray.sorted
+  lazy val model: Model = buildModel(SeedCorpus.toSeq)
+
+  /** Production model constructors: the model becomes a DATA swap, not a
+    * code edit. `fromText` builds from in-memory (lang, text) pairs with
+    * the exact math of the built-in model (trigram counts, add-alpha
+    * smoothing, float32 log-prob quantization) — `fromText(SeedCorpus)`
+    * reproduces the built-in tables bit-for-bit (LangIdSpec round-trips
+    * it). `fromTable` accepts any DataFrame with (lang, text) columns, so
+    * a parquet or CSV corpus loads via `spark.read` — the corpus is tiny
+    * by construction (a language PROFILE, not training data), so the
+    * driver-side collect is bounded and the built model still replicates
+    * to every executor deterministically through the expression closure.
+    * Rows sharing a lang concatenate with a single space, in (lang, text)
+    * sort order, so multi-row corpora are deterministic too.
+    */
+  def fromText(pairs: Seq[(String, String)]): Model = buildModel(pairs)
+
+  def fromTable(df: org.apache.spark.sql.DataFrame): Model =
+    fromText(df.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+  private def buildModel(corpus: Seq[(String, String)]): Model = {
+    val byLang: Map[String, String] = corpus.sorted.groupBy(_._1)
+      .map { case (l, ps) => l -> ps.map(_._2).mkString(" ") }
+    val langs = byLang.keys.toArray.sorted
     val vocab = scala.collection.mutable.HashSet[String]()
     val counts = langs.map { l =>
       val m = scala.collection.mutable.HashMap[String, Int]()
-      trigrams(SeedCorpus(l)).foreach { g =>
+      trigrams(byLang(l)).foreach { g =>
         vocab += g; m.update(g, m.getOrElse(g, 0) + 1)
       }
       m

