@@ -906,6 +906,33 @@ object Queries {
       | epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Gap-based sessionization (batch twin of the
+    * `flatMapGroupsWithState` streaming operator — StreamingSpec asserts
+    * streamed == batch; this oracle pins the batch semantics to SQL).
+    */
+  val evSessionize: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.streaming.EventStream.sessionizeBatch(tbl(s, dir, "events"))
+      .orderBy("user_id", "session_no")
+
+  val evSessionizeSql: String = {
+    val gapUs = 30 * 60L * 1000000L // MUST equal sessionizeBatch's default
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+       |g AS (SELECT user_id, event_id, us, value,
+       |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+       |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $gapUs
+       |       THEN 1 ELSE 0 END AS new_s
+       | FROM e),
+       |s AS (SELECT user_id, us, value,
+       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       | FROM g)
+       |SELECT user_id, session_no::BIGINT AS session_no, min(us) AS session_start_us,
+       | max(us) AS session_end_us, count(*) AS n_events,
+       | round(sum(value), 4) AS sum_value
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+  }
+
   // ======================================================================
   // Coverage: fractional year (P3), shared-encoding correlation (G3),
   // value-uniqueness sanity (D4), embedding-cosine dedup, frame sampling
@@ -1165,6 +1192,7 @@ object Queries {
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
+    "ev_sessionize" -> evSessionize,
     "q_year_fraction" -> qYearFraction,
     "dq_corr" -> dqCorr,
     "dq_value_uniqueness" -> dqValueUniqueness
@@ -1202,6 +1230,7 @@ object Queries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
+    "ev_sessionize" -> evSessionizeSql,
     "q_year_fraction" -> qYearFractionSql,
     "dq_corr" -> dqCorrSql,
     "dq_value_uniqueness" -> dqValueUniquenessSql

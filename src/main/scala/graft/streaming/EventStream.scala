@@ -52,6 +52,125 @@ object EventStream {
       .start()
   }
 
+  /** Gap-based sessionization, batch twin: a session is a maximal run of
+    * a user's events with consecutive gaps ≤ `gapMinutes`. One shuffle on
+    * the session key (user_id) carrying narrow rows, then a per-user
+    * ordered window — the inherent shape of sessionization at any scale
+    * (the 100 TB version partitions by user hash exactly like this; no
+    * global ordering anywhere). Output micros are BIGINT for oracle
+    * portability (epoch_us on the DuckDB side).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull || col("__us") - col("__prev") > gapUs).cast("long"))
+      .withColumn("session_no", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("__us")).as("session_start_us"),
+        max(col("__us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  final case class SessionEvent(user_id: Long, event_id: Long, us: Long,
+                                value: Double)
+  final case class OpenSession(sessionNo: Long, startUs: Long, lastUs: Long,
+                               n: Long, sum: Double)
+  final case class Session(user_id: Long, session_no: Long,
+                           session_start_us: Long, session_end_us: Long,
+                           n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization — the CUSTOM-STATE operator
+    * (`flatMapGroupsWithState`, the pre-`transformWithState` stable API):
+    * per user, an open session lives in the state store; a micro-batch's
+    * events extend it or close it (gap > `gapMinutes`), and an
+    * event-time TIMEOUT closes it when the watermark passes
+    * last-event + gap — so a session is emitted exactly once, when no
+    * in-watermark event can extend it anymore. State per key is O(1)
+    * (one open session), the streaming analogue of the batch twin's
+    * per-user window. Within a micro-batch events are sorted by
+    * (us, event_id); cross-batch disorder beyond the watermark is the
+    * usual Structured Streaming contract.
+    */
+  def sessionizeStream(spark: SparkSession, sourceDir: String,
+                       schemaFrom: DataFrame, queryName: String,
+                       gapMinutes: Int = 30,
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(userId: Long, st: OpenSession): Session =
+      Session(userId, st.sessionNo, st.startUs, st.lastUs, st.n,
+        // same HALF_UP semantics as the batch twin's round(sum, 4)
+        BigDecimal(st.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    def fn(userId: Long, events: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        return Iterator.single(close(userId, st))
+      }
+      val sorted = events.toArray.sortBy(e => (e.us, e.event_id))
+      var out = List.empty[Session]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open match {
+          case Some(st) if e.us - st.lastUs > gapUs =>
+            out ::= close(userId, st)
+            open = Some(OpenSession(st.sessionNo + 1, e.us, e.us, 1L, e.value))
+          case Some(st) =>
+            open = Some(st.copy(lastUs = math.max(st.lastUs, e.us),
+              n = st.n + 1, sum = st.sum + e.value))
+          case None =>
+            open = Some(OpenSession(1L, e.us, e.us, 1L, e.value))
+        }
+      }
+      open.foreach { st =>
+        state.update(st)
+        // the timeout must sit strictly after the current watermark (the
+        // API rejects past timestamps); a session whose close time the
+        // watermark already passed times out at the next trigger
+        state.setTimeoutTimestamp(
+          math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.reverseIterator
+    }
+
+    val reader0 = spark.readStream.schema(schemaFrom.schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m))
+    val stream = reader
+      .parquet(sourceDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      // the watermarked event-time column must SURVIVE into the stateful
+      // operator's child plan — project around it, not over it
+      .select(col("ts"), col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+
+    stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming variant: same aggregation with a 2-hour watermark. */
   def windowedCountsStream(spark: SparkSession, sourceDir: String,
                            schemaFrom: DataFrame,
