@@ -854,6 +854,31 @@ object Queries {
     """SELECT vec_id AS qid, vec_id + 1000000 AS id, 1.0::DOUBLE AS cos_r
       |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
 
+  /** IVF-bucketed ANN with the same planted-copy exact oracle as
+    * [[embAnnLsh]]: an identical planted vector computes the identical
+    * deterministic cell argmax, so it lives in the query's own top probe
+    * cell and tops the ranking at cos = 1.0. The approximate remainder
+    * is covered by AnnSpec's recall bound vs brute force.
+    */
+  val embAnnIvf: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    val corpus0 = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = corpus0.unionByName(queries.select(
+      (col("qid") + lit(1000000L)).as("id"), col("qvec").as("vec")))
+    val cents = Ann.trainCentroids(corpus, "vec", 64,
+      Ann.autoCells(corpus.count()))
+    Ann.ivfTopK(corpus, queries, 5, cents, nProbe = 4)
+      .filter(col("id") === col("qid") + lit(1000000L))
+      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos_r"))
+      .orderBy("qid")
+  }
+
+  val embAnnIvfSql: String =
+    """SELECT vec_id AS qid, vec_id + 1000000 AS id, 1.0::DOUBLE AS cos_r
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
+
   // ======================================================================
   // Multimodal plumbing: opaque binary + typed metadata
   // ======================================================================
@@ -1185,6 +1210,7 @@ object Queries {
     "dq_scrub" -> dqScrub,
     "emb_knn" -> embKnn,
     "emb_ann_lsh" -> embAnnLsh,
+    "emb_ann_ivf" -> embAnnIvf,
     "emb_cosine_dedup" -> embCosineDedup,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_media_meta" -> mmMediaMeta,
@@ -1223,6 +1249,7 @@ object Queries {
     "dq_scrub" -> dqScrubSql,
     "emb_knn" -> embKnnSql,
     "emb_ann_lsh" -> embAnnLshSql, // planted-copy subset: exact (scaladoc)
+    "emb_ann_ivf" -> embAnnIvfSql, // planted-copy subset: exact (scaladoc)
     "mm_frame_sample" -> mmFrameSampleSql, // hex-domain md5 frame hash
     "emb_cosine_dedup" -> embCosineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,

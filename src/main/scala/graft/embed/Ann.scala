@@ -100,6 +100,122 @@ object Ann {
     math.min(62, math.max(4, raw))
   }
 
+  // =====================================================================
+  // IVF (inverted-file) ANN — the second scale path next to LSH
+  // =====================================================================
+
+  /** Driver-side Lloyd's k-means over a BOUNDED corpus sample — the IVF
+    * coarse quantizer. The trained structure is tiny (k × dim floats,
+    * ~16 KB at k=64/dim=64) and ships to executors inside the
+    * [[IvfCellsExpr]] closure exactly like the SRP hyperplanes — no
+    * broadcast bookkeeping, deterministic on every JVM (fixed sample,
+    * fixed init: evenly spaced sample vectors, fixed iteration count).
+    * Assignment metric is COSINE (matches the search metric — Lloyd's
+    * update with mean centroids + cosine assignment is spherical k-means
+    * with unnormalized means, fine for a coarse quantizer). At 10⁹
+    * vectors the sample stays 4k rows — training cost is independent of
+    * corpus size; only assignment scales, and that is one narrow map.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, dim: Int, k: Int,
+                     iters: Int = 5, sampleN: Int = 4096): Array[Array[Float]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).toArray).filter(_.length == dim)
+    require(sample.nonEmpty, "empty training sample for IVF centroids")
+    val k2 = math.max(1, math.min(k, sample.length))
+    var cents = Array.tabulate(k2)(i => sample(i.toLong.toInt * sample.length / k2).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k2)(new Array[Double](dim))
+      val cnt = new Array[Int](k2)
+      sample.foreach { v =>
+        val c = nearestCellOf(v, cents)
+        cnt(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k2) { c =>
+        if (cnt(c) == 0) cents(c) // empty cell keeps its centroid
+        else {
+          val a = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { a(j) = (sums(c)(j) / cnt(c)).toFloat; j += 1 }
+          a
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private[embed] def nearestCellOf(v: Array[Float],
+                                   cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cos = cosineOf(v, cents(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[embed] def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
+  }
+
+  /** `nProbe` nearest IVF cells for a vector column (fused expression;
+    * nProbe=1 for corpus assignment, >1 for query-side multi-probing).
+    */
+  def ivfCells(vec: Column, cents: Array[Array[Float]], nProbe: Int): Column =
+    graft.functions.GraftExpr.column(IvfCellsExpr(
+      graft.functions.GraftExpr.expr(vec), cents, nProbe))
+
+  /** Cell count sized to the corpus: k ≈ √n keeps cells ≈ √n vectors, so
+    * a query at nProbe probes touches ~nProbe·√n candidates — the
+    * classic IVF balance point (train cost k·sample, probe cost
+    * nProbe·n/k; k=√n minimizes their product's growth).
+    */
+  def autoCells(corpusSize: Long): Int =
+    math.max(4, math.min(4096, math.round(math.sqrt(corpusSize.toDouble)).toInt))
+
+  /** IVF ANN: corpus vectors live in ONE cell each (inverted file —
+    * a single narrow column, shuffle-free assignment); each query probes
+    * its `nProbe` nearest cells via a broadcast equi-join on the cell id;
+    * candidates are exact-cosine ranked. Versus [[lshTopK]]: IVF adapts
+    * to the DATA distribution (cells follow the corpus's cluster
+    * structure; LSH's hyperplanes are oblivious), costs one int per
+    * corpus row instead of `tables` longs, and probes ~nProbe·n/k
+    * candidates; LSH wins when the corpus is unclusterable or the
+    * quantizer would need retraining under drift. An identical planted
+    * vector lands in the query's own top cell (same deterministic
+    * argmax), which makes the exact planted-copy oracle sound.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cents: Array[Array[Float]], nProbe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    val cCell = corpus.withColumn("cell",
+      element_at(ivfCells(col("vec"), cents, 1), 1))
+    val qCell = queries.withColumn("cell",
+      explode(ivfCells(col("qvec"), cents, nProbe)))
+    val cands = cCell.join(broadcast(qCell), Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .select("qid", "qvec", "id", "vec")
+      .dropDuplicates("qid", "id")
+    val scored = cands.withColumn("cos", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+
   /** Multi-table bucketed ANN: a corpus vector is a candidate for a query
     * iff they share a bucket in ANY of the `tables` hash tables (standard
     * LSH union amplification); exact cosine rank over the deduped
@@ -201,5 +317,59 @@ case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expre
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): SrpBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Fused IVF cell assignment: array<long> of the `nProbe` nearest cell
+  * ids by cosine (one tight loop; the composed per-centroid Column
+  * version would be k interpreted HOF dot products per vector). The
+  * centroid table rides in the expression exactly like SrpBucketsExpr's
+  * hyperplanes. A vector whose length ≠ the centroid dim yields cell -1
+  * (never joins — mirrors the SRP all-zero contract).
+  */
+case class IvfCellsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                        cents: Array[Array[Float]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    val p = math.min(nProbe, cents.length)
+    if (arr.numElements() != dim || p == 0)
+      return new GenericArrayData(Array.fill[Any](math.max(1, p))(-1L))
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getFloat(i); i += 1 }
+    // partial selection of the top-p cells by cosine (p is tiny)
+    val bestIdx = new Array[Int](p)
+    val bestCos = new Array[Double](p)
+    java.util.Arrays.fill(bestCos, -3.0)
+    var c = 0
+    while (c < cents.length) {
+      val cos = Ann.cosineOf(v, cents(c))
+      var j = 0
+      var ins = -1
+      while (j < p && ins < 0) { if (cos > bestCos(j)) ins = j; j += 1 }
+      if (ins >= 0) {
+        var m = p - 1
+        while (m > ins) { bestCos(m) = bestCos(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
+        bestCos(ins) = cos; bestIdx(ins) = c
+      }
+      c += 1
+    }
+    val out = new Array[Any](p)
+    i = 0
+    while (i < p) { out(i) = bestIdx(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): IvfCellsExpr =
     copy(child = newChild)
 }

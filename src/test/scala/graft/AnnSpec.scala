@@ -89,10 +89,9 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("ANN recall grid at 20k vectors: auto settings clear 0.6; tradeoffs pinned") {
-    // deterministic clustered corpus at a NON-fixture scale: 200 centers ×
-    // 100 members, dim 32 — the regime autoNBits' occupancy math targets
-    // (auto = ⌈log₂(20000/64)⌉ = 9 bits ⇒ ~39 vectors/bucket/table).
+  // deterministic clustered corpus at a NON-fixture scale: 200 centers ×
+  // 100 members, dim 32 — shared by the LSH grid and the IVF test.
+  private lazy val corpus20k = {
     var seed = 0x9e3779b97f4a7c15L
     def next(): Double = {
       seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
@@ -105,10 +104,19 @@ class AnnSpec extends AnyFunSuite {
     }
     val df = rows.toDF("id", "vec").repartition(8).cache()
     df.count()
-    val queries = df.filter(col("id") < 10)
-      .select(col("id").as("qid"), col("vec").as("qvec")).cache()
-    val exact = Ann.bruteForceTopK(df, queries, 5).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    df
+  }
+  private lazy val queries20k = corpus20k.filter(col("id") < 10)
+    .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+  private lazy val exact20k = Ann.bruteForceTopK(corpus20k, queries20k, 5).collect()
+    .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+
+  test("ANN recall grid at 20k vectors: auto settings clear 0.6; tradeoffs pinned") {
+    // the regime autoNBits' occupancy math targets
+    // (auto = ⌈log₂(20000/64)⌉ = 9 bits ⇒ ~39 vectors/bucket/table)
+    val df = corpus20k
+    val queries = queries20k
+    val exact = exact20k
     val auto = Ann.autoNBits(20000, 64)
     assert(auto == 9)
     val grid = (for {
@@ -137,6 +145,33 @@ class AnnSpec extends AnyFunSuite {
     for (nBits <- Seq(auto - 2, auto, auto + 2); tables <- Seq(6, 12))
       assert(grid((nBits, tables, true)) >= grid((nBits, tables, false)),
         s"multi-probe lowered recall at nBits=$nBits tables=$tables")
+  }
+
+  test("IVF ANN at 20k vectors: trained quantizer recall ≥ 0.8; assignment deterministic; planted copy exact") {
+    val k = Ann.autoCells(20000) // 141 cells ≈ √n
+    val cents = Ann.trainCentroids(corpus20k, "vec", 32, k)
+    assert(cents.length == k)
+    val approx = Ann.ivfTopK(corpus20k, queries20k, 5, cents, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (exact20k intersect approx).size.toDouble / exact20k.size
+    info(f"IVF recall@5 = $recall%.3f (k=$k cells, nProbe=4)")
+    // the corpus IS clustered (200 true centers); a trained quantizer
+    // should track them far better than the 0.6 LSH floor
+    assert(recall >= 0.8, f"IVF recall $recall%.3f below 0.8")
+    // deterministic training + assignment: identical call, identical cells
+    val cents2 = Ann.trainCentroids(corpus20k, "vec", 32, k)
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    // planted-copy guarantee (the emb_ann_ivf oracle's soundness): an
+    // identical vector computes the identical argmax cell
+    val cells = corpus20k.limit(50)
+      .select(col("id"), element_at(Ann.ivfCells(col("vec"), cents, 1), 1).as("cell"),
+        element_at(Ann.ivfCells(col("vec"), cents, 1), 1).as("cell2"))
+      .collect()
+    cells.foreach(r => assert(r.getLong(1) == r.getLong(2) && r.getLong(1) >= 0))
+    // wrong-dim vector → cell -1 (never joins)
+    val bad = Seq(Seq(1.0f, 2.0f)).toDF("vec")
+      .select(element_at(Ann.ivfCells(col("vec"), cents, 1), 1)).head().getLong(0)
+    assert(bad == -1L)
   }
 
   test("lshTopK with autoNBits + multi-probe: recall ≥ 0.6 on CLUSTERED vectors") {
