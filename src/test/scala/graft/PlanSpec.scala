@@ -82,6 +82,29 @@ class PlanSpec extends AnyFunSuite {
       s"nested-loop join in dq_simhash_neardup: ${plan.take(800)}")
   }
 
+  test("ev_sessionize: ONE shuffle — the session agg reuses the window's user_id partitioning") {
+    // HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    // session_no), so the groupBy after the per-user window must NOT add
+    // a second Exchange: sessionization at 100 TB is one narrow shuffle
+    // on the session key, full stop. (orderBy adds a range exchange for
+    // presentation only — assert on the unsorted core.)
+    val core = graft.streaming.EventStream.sessionizeBatch(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val plan = physical(core)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("emb_ann_ivf: cell-probe equi-join — no cartesian, broadcast query side") {
+    val plan = physical(Queries.embAnnIvf(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in emb_ann_ivf: ${plan.take(800)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in emb_ann_ivf: ${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe join is not broadcast: ${plan.take(800)}")
+  }
+
   test("whole-stage codegen covers the scalar feature expressions") {
     // NOTE: higher-order array functions (filter/transform/aggregate) are
     // interpreted in Spark — only scalar expression chains codegen. The
