@@ -81,6 +81,14 @@ object EventStream {
 
   final case class SessionEvent(user_id: Long, event_id: Long, us: Long,
                                 value: Double)
+  /** Per-user state. `n >= 1` = an OPEN session; `n == 0` = a CLOSED
+    * TOMBSTONE: the last session (number `sessionNo`, ended `lastUs`) was
+    * already emitted by an event-time timeout, and the marker survives
+    * solely so the user's NEXT session continues the numbering at
+    * `sessionNo + 1` — without it, numbering restarts at 1 whenever a
+    * user's sessions straddle a timeout, duplicating (user_id,
+    * session_no) keys and diverging from [[sessionizeBatch]].
+    */
   final case class OpenSession(sessionNo: Long, startUs: Long, lastUs: Long,
                                n: Long, sum: Double)
   final case class Session(user_id: Long, session_no: Long,
@@ -93,31 +101,51 @@ object EventStream {
     * events extend it or close it (gap > `gapMinutes`), and an
     * event-time TIMEOUT closes it when the watermark passes
     * last-event + gap — so a session is emitted exactly once, when no
-    * in-watermark event can extend it anymore. State per key is O(1)
-    * (one open session), the streaming analogue of the batch twin's
-    * per-user window. Within a micro-batch events are sorted by
-    * (us, event_id); cross-batch disorder beyond the watermark is the
+    * in-watermark event can extend it anymore. A closed session leaves a
+    * TOMBSTONE (see [[OpenSession]]) holding the session counter, expiring
+    * after `tombstoneTtlDays` of user inactivity — so numbering matches
+    * the batch twin exactly while total state stays bounded at one tiny
+    * record per RECENTLY-ACTIVE user (a user returning after the TTL
+    * restarts at session 1; pick the TTL to taste — at 100 TB scale an
+    * unbounded forever-user registry is exactly what a state store must
+    * not become). State per key is O(1), the streaming analogue of the
+    * batch twin's per-user window. Within a micro-batch events are sorted
+    * by (us, event_id); cross-batch disorder beyond the watermark is the
     * usual Structured Streaming contract.
     */
   def sessionizeStream(spark: SparkSession, sourceDir: String,
                        schemaFrom: DataFrame, queryName: String,
                        gapMinutes: Int = 30,
-                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       tombstoneTtlDays: Int = 30,
+                       checkpointDir: Option[String] = None,
+                       sinkDir: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
-    val gapMs = gapMinutes * 60L * 1000L
+    val ttlMs = tombstoneTtlDays * 86400L * 1000L
 
     def close(userId: Long, st: OpenSession): Session =
       Session(userId, st.sessionNo, st.startUs, st.lastUs, st.n,
         // same HALF_UP semantics as the batch twin's round(sum, 4)
         BigDecimal(st.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+    // strictly-after close boundary: the batch twin closes only on gap
+    // STRICTLY greater than gapUs, so the timeout must not fire until the
+    // watermark passes last + gap — round the µs→ms truncation UP and add
+    // 1 ms so an event at exactly last + gap still extends the session
+    def closeAtMs(lastUs: Long): Long = (lastUs + gapUs) / 1000L + 1L
+
     def fn(userId: Long, events: Iterator[SessionEvent],
            state: GroupState[OpenSession]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val st = state.get
-        state.remove()
+        if (st.n == 0L) { state.remove(); return Iterator.empty } // TTL expired
+        // close + emit, but KEEP the counter as a tombstone so the user's
+        // next session (arriving in a later micro-batch) numbers st+1
+        state.update(OpenSession(st.sessionNo, st.lastUs, st.lastUs, 0L, 0.0))
+        state.setTimeoutTimestamp(math.max(st.lastUs / 1000L + ttlMs,
+          state.getCurrentWatermarkMs() + 1L))
         return Iterator.single(close(userId, st))
       }
       val sorted = events.toArray.sortBy(e => (e.us, e.event_id))
@@ -125,6 +153,11 @@ object EventStream {
       var open = state.getOption
       sorted.foreach { e =>
         open match {
+          case Some(st) if st.n == 0L =>
+            // tombstone: the previous session was already emitted by its
+            // timeout (an in-watermark event can no longer extend it, by
+            // the timeout's strictly-after boundary) — resume numbering
+            open = Some(OpenSession(st.sessionNo + 1, e.us, e.us, 1L, e.value))
           case Some(st) if e.us - st.lastUs > gapUs =>
             out ::= close(userId, st)
             open = Some(OpenSession(st.sessionNo + 1, e.us, e.us, 1L, e.value))
@@ -141,7 +174,7 @@ object EventStream {
         // API rejects past timestamps); a session whose close time the
         // watermark already passed times out at the next trigger
         state.setTimeoutTimestamp(
-          math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+          math.max(closeAtMs(st.lastUs), state.getCurrentWatermarkMs() + 1L))
       }
       out.reverseIterator
     }
@@ -163,12 +196,18 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
 
-    stream.writeStream
+    // default sink is in-memory (tests/demos); with sinkDir+checkpointDir
+    // the query becomes a RESUMABLE production job — state store, source
+    // offsets and file-sink manifest all live under checkpointDir, so a
+    // kill/restart resumes exactly-once (StreamingSpec restart test)
+    val w0 = stream.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val w1 = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+    sinkDir match {
+      case Some(d) => w1.format("parquet").start(d)
+      case None => w1.format("memory").queryName(queryName).start()
+    }
   }
 
   /** Streaming variant: same aggregation with a 2-hour watermark. */

@@ -92,6 +92,128 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- helpers for the synthetic cross-batch session tests ----
+  // one schema-conforming event row derived from the real events table
+  private def mkEvent(base: org.apache.spark.sql.DataFrame, userId: Long,
+                      evId: Long, us: Long, value: Double) =
+    base.limit(1)
+      .withColumn("user_id", lit(userId).cast(base.schema("user_id").dataType))
+      .withColumn("event_id", lit(evId).cast(base.schema("event_id").dataType))
+      .withColumn("ts", timestamp_micros(lit(us)).cast(base.schema("ts").dataType))
+      .withColumn("value", lit(value).cast(base.schema("value").dataType))
+
+  private def appendFile(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    Thread.sleep(1100) // distinct mtimes => stable file-batch order
+    df.repartition(1).write.mode("append").parquet(dir)
+  }
+
+  private val T0 = 1600000000000000L // fixed base epoch-us
+  private val Day = 86400000000L
+
+  test("session numbering survives an event-time timeout between micro-batches") {
+    // user 7's two sessions straddle a timeout: session 1 closes via the
+    // event-time timeout (batches 2-3 carry only sentinel user -1 events
+    // that advance the watermark past last+gap), then session-2 events
+    // arrive in a LATER batch. Without the tombstone counter the stream
+    // would emit two sessions both numbered 1 — duplicate keys, diverging
+    // from the batch twin.
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-xbatch").toString
+    val files = Seq(
+      mkEvent(base, 7L, 1L, T0, 1.5).unionByName(
+        mkEvent(base, 7L, 2L, T0 + 600000000L, 2.25)), // +10 min
+      mkEvent(base, -1L, 101L, T0 + 100 * Day, 0.0),
+      mkEvent(base, -1L, 102L, T0 + 200 * Day, 0.0), // fires user 7's timeout
+      mkEvent(base, 7L, 3L, T0 + 300 * Day, 3.0),    // session 2 after tombstone
+      mkEvent(base, -1L, 103L, T0 + 400 * Day, 0.0),
+      mkEvent(base, -1L, 104L, T0 + 500 * Day, 0.0)) // fires session 2's timeout
+    files.foreach(appendFile(_, dir))
+    val all = files.reduce(_ unionByName _)
+    val q = EventStream.sessionizeStream(spark, dir, base, "sess_xbatch",
+      30, maxFilesPerTrigger = Some(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT user_id, session_no, session_start_us, session_end_us,
+        | n_events, sum_value FROM sess_xbatch WHERE user_id = 7""".stripMargin)
+      .collect()
+    // exactly-once per session key: raw row count must equal key count
+    assert(streamed.length == 2, s"expected 2 sessions, got ${streamed.toSeq}")
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 1L), (7L, 2L)), s"wrong keys: ${streamed.toSeq}")
+    val batch = EventStream.sessionizeBatch(all)
+      .filter(col("user_id") === 7)
+      .select(col("user_id").cast("long"), col("session_no"),
+        col("session_start_us"), col("session_end_us"), col("n_events"),
+        col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    streamed.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (s2, e2, n2, v2) = batch(k)
+      assert(r.getLong(2) == s2 && r.getLong(3) == e2 && r.getLong(4) == n2,
+        s"bounds/count differ at $k")
+      assert(math.abs(r.getDouble(5) - v2) < 1e-6, s"sum differs at $k")
+    }
+  }
+
+  test("sessionizeStream kill/restart from a checkpoint emits each session exactly once") {
+    // phase 1 ingests session 1 + one watermark sentinel, then the query
+    // is STOPPED; phase 2 appends session 2 + sentinels and RESTARTS from
+    // the same checkpoint — state (open session/tombstone + counter),
+    // source offsets and the file-sink manifest must all recover so the
+    // union of emitted sessions equals the batch twin with no duplicates.
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-sess-sink").toString
+    val phase1 = Seq(
+      mkEvent(base, 7L, 1L, T0, 1.5).unionByName(
+        mkEvent(base, 7L, 2L, T0 + 600000000L, 2.25)),
+      mkEvent(base, -1L, 101L, T0 + 100 * Day, 0.0))
+    val phase2 = Seq(
+      mkEvent(base, 7L, 3L, T0 + 200 * Day, 3.0),
+      mkEvent(base, -1L, 102L, T0 + 300 * Day, 0.0),
+      mkEvent(base, -1L, 103L, T0 + 400 * Day, 0.0))
+    phase1.foreach(appendFile(_, dir))
+    val q1 = EventStream.sessionizeStream(spark, dir, base, "unused1",
+      30, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt),
+      sinkDir = Some(sink))
+    q1.processAllAvailable()
+    q1.stop()
+    phase2.foreach(appendFile(_, dir))
+    val q2 = EventStream.sessionizeStream(spark, dir, base, "unused2",
+      30, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt),
+      sinkDir = Some(sink))
+    q2.processAllAvailable()
+    q2.stop()
+    val emitted = spark.read.parquet(sink).filter(col("user_id") === 7)
+      .select("user_id", "session_no", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect()
+    assert(emitted.length == 2,
+      s"expected exactly 2 emitted sessions across restart, got ${emitted.toSeq}")
+    assert(emitted.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 1L), (7L, 2L)), s"wrong keys: ${emitted.toSeq}")
+    val all = (phase1 ++ phase2).reduce(_ unionByName _)
+    val batch = EventStream.sessionizeBatch(all)
+      .filter(col("user_id") === 7)
+      .select(col("user_id").cast("long"), col("session_no"),
+        col("session_start_us"), col("session_end_us"), col("n_events"),
+        col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    emitted.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (s2, e2, n2, v2) = batch(k)
+      assert(r.getLong(2) == s2 && r.getLong(3) == e2 && r.getLong(4) == n2,
+        s"bounds/count differ at $k")
+      assert(math.abs(r.getDouble(5) - v2) < 1e-6, s"sum differs at $k")
+    }
+  }
+
   test("streaming heuristic verdicts equal the batch pass-1 heuristics") {
     import org.apache.spark.sql.SaveMode
     val pages = graft.sources.PagesGen.generate(spark, 500, 4).toDF()
