@@ -118,11 +118,29 @@ object Ann {
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, dim: Int, k: Int,
                      iters: Int = 5, sampleN: Int = 4096): Array[Array[Float]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+    // DETERMINISTIC, PARTITION-INDEPENDENT sample: bottom-sampleN rows by
+    // a content hash (ties broken by the vector itself, so identical rows
+    // can't reorder). A bare `limit(sampleN)` takes whatever partitions
+    // schedule first — at cluster scale that sample (a) silently changes
+    // with split sizing/parallelism, so centroids and every downstream
+    // cell assignment differ between otherwise-identical runs, and (b) is
+    // biased to the FIRST files of the corpus (one day/shard of a
+    // date-partitioned lake) — the wrong sample for a coarse quantizer
+    // under drift. Hash-order bottom-k is a uniform draw over the whole
+    // corpus, Catalyst plans it as TakeOrderedAndProject (per-partition
+    // top-k + driver merge of sampleN rows — no global sort, no shuffle
+    // of the corpus), and the result is a pure function of the corpus
+    // CONTENT. AnnSpec pins centroid equality across repartitionings.
+    val sample = corpus.select(col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__v")), col("__v"))
+      .limit(sampleN).collect()
       .map(_.getSeq[Float](0).toArray).filter(_.length == dim)
     require(sample.nonEmpty, "empty training sample for IVF centroids")
     val k2 = math.max(1, math.min(k, sample.length))
-    var cents = Array.tabulate(k2)(i => sample(i.toLong.toInt * sample.length / k2).clone())
+    // evenly spaced init over the hash-ordered sample (64-bit product —
+    // safe for any future sampleN, though i*len stays < 2^31 at the
+    // current 4096 bound)
+    var cents = Array.tabulate(k2)(i => sample(((i.toLong * sample.length) / k2).toInt).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k2)(new Array[Double](dim))
@@ -200,10 +218,18 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               cents: Array[Array[Float]], nProbe: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
+    // cell >= 0 on BOTH sides: IvfCellsExpr assigns dim-mismatched
+    // vectors the -1 sentinel, and without the filter two malformed
+    // vectors would equi-join with EACH OTHER on the shared sentinel
+    // (producing candidates with null cosine from the unequal-length
+    // zip_with) — the filter makes the documented "never joins" contract
+    // true
     val cCell = corpus.withColumn("cell",
-      element_at(ivfCells(col("vec"), cents, 1), 1))
+        element_at(ivfCells(col("vec"), cents, 1), 1))
+      .filter(col("cell") >= 0)
     val qCell = queries.withColumn("cell",
-      explode(ivfCells(col("qvec"), cents, nProbe)))
+        explode(ivfCells(col("qvec"), cents, nProbe)))
+      .filter(col("cell") >= 0)
     val cands = cCell.join(broadcast(qCell), Seq("cell"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select("qid", "qvec", "id", "vec")
@@ -324,8 +350,9 @@ case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expre
   * ids by cosine (one tight loop; the composed per-centroid Column
   * version would be k interpreted HOF dot products per vector). The
   * centroid table rides in the expression exactly like SrpBucketsExpr's
-  * hyperplanes. A vector whose length ≠ the centroid dim yields cell -1
-  * (never joins — mirrors the SRP all-zero contract).
+  * hyperplanes. A vector whose length ≠ the centroid dim yields cell -1,
+  * which [[Ann.ivfTopK]] filters on both sides so malformed vectors never
+  * join (not even with each other via the shared sentinel).
   */
 case class IvfCellsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
                         cents: Array[Array[Float]], nProbe: Int)

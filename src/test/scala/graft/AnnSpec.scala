@@ -174,6 +174,36 @@ class AnnSpec extends AnyFunSuite {
     assert(bad == -1L)
   }
 
+  test("IVF training sample is partition-independent: identical centroids at any repartitioning") {
+    // the production determinism contract: centroids are a pure function
+    // of the corpus CONTENT, never of split sizing / parallelism / file
+    // order (a bare limit() sample changes whenever partitions do)
+    val k = 32
+    val layouts = Seq(corpus20k.repartition(3), corpus20k.repartition(7),
+      corpus20k.coalesce(1))
+    val all = layouts.map(df => Ann.trainCentroids(df, "vec", 32, k))
+    all.foreach(c => assert(c.length == k))
+    all.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+        "centroids differ across repartitionings")
+    }
+  }
+
+  test("ivfTopK: malformed (dim-mismatched) vectors never join, not even with each other") {
+    val k = 16
+    val cents = Ann.trainCentroids(corpus20k, "vec", 32, k)
+    val badCorpus = corpus20k.limit(100).unionByName(
+      Seq((900001L, Seq(1.0f, 2.0f)), (900002L, Seq(3.0f))).toDF("id", "vec"))
+    val badQueries = queries20k.unionByName(
+      Seq((800001L, Seq(1.0f, 2.0f))).toDF("qid", "qvec"))
+    val res = Ann.ivfTopK(badCorpus, badQueries, 5, cents, nProbe = 4).collect()
+    // no malformed id on either side of any result row, and no null cosine
+    assert(res.forall(r => r.getAs[Long]("qid") < 800000L &&
+      r.getAs[Long]("id") < 900000L && !r.isNullAt(r.fieldIndex("cos"))),
+      s"malformed vectors leaked into results: ${res.filter(r =>
+        r.getAs[Long]("qid") >= 800000L || r.getAs[Long]("id") >= 900000L).toSeq}")
+  }
+
   test("lshTopK with autoNBits + multi-probe: recall ≥ 0.6 on CLUSTERED vectors") {
     // deterministic clustered fixture: 20 centers × 50 members, dim 16 —
     // the realistic ANN regime (random vectors, tested above, are the
