@@ -323,6 +323,57 @@ object Queries {
        |FROM p GROUP BY d2 ORDER BY doc_id""".stripMargin
   }
 
+  /** WIDE (2 × 60-bit) SimHash near-dup verdicts
+    * ([[graft.rules.Rules.simHashNearDupWide]] — the production regime
+    * for 10⁹⁺-doc corpora, Manku/WWW'07 block-pair banding) over a
+    * portable md5 wide fingerprint, oracle-checked against a brute-force
+    * all-pairs DuckDB twin at `bit_count(xor(hi,hi)) +
+    * bit_count(xor(lo,lo)) <= 6`. The banding is EXACT for Hamming ≤ 6
+    * (≤ 6 flipped bits touch ≤ 6 of the 8 blocks, so ≥ 2 blocks — hence
+    * ≥ 1 of the C(8,2) block-pair keys — match exactly), and at oracle
+    * scales every pair bucket stays far under `maxBucket`, so banded ==
+    * brute force and the hash comparison is legitimate. Exact-duplicate
+    * documents in the fixture guarantee Hamming-0 pairs (rows > 0).
+    */
+  val dqSimHashNearDupWide: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sh = docs(s, dir).select(col("doc_id"),
+      graft.functions.Md5SimHash.md5SimHashWide(col("text")).as("w"))
+      .select(col("doc_id"), col("w.hi").as("hi"), col("w.lo").as("lo"))
+    graft.rules.Rules.simHashNearDupWide(sh, col("doc_id"), col("hi"), col("lo"),
+        maxHamming = 6)
+      .select(col("url").cast(LongType).as("doc_id"), col("rule"),
+        col("score").cast(LongType).as("hamming"),
+        col("detail").cast(LongType).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  val dqSimHashNearDupWideSql: String = {
+    // brute-force twin: the same per-bit majority over md5 hex chars 1-15
+    // (lo) and 17-31 (hi) of each distinct lowercase token, all pairs at
+    // combined Hamming <= 6
+    def half(name: String, off: Int) = {
+      val bits = (0 until 60).map { b =>
+        s"(CASE WHEN 2 * list_sum(list_transform($name, h -> (h >> $b) & 1)) >= len($name) THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(CASE WHEN len($name) > 0 THEN $bits ELSE 0 END)::BIGINT"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_transform(${Frag.toks("text")}, t -> lower(t))) AS toks
+       | FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hlo,
+       |  list_transform(toks, t -> ('0x' || substr(md5(t), 17, 15))::BIGINT) AS hhi
+       | FROM t),
+       |s AS (SELECT doc_id, ${half("hhi", 17)} AS hi, ${half("hlo", 1)} AS lo FROM h),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |        (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) AS dist
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) <= 6)
+       |SELECT d2 AS doc_id, 'near_dup_simhash_wide' AS rule,
+       | min(dist)::BIGINT AS hamming, min(d1)::BIGINT AS keep_id
+       |FROM p GROUP BY d2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (web boilerplate) and are exactly the O(df²) hot keys that detonate a
     * shingle self-join at scale — they are dropped from the Jaccard
@@ -1195,6 +1246,7 @@ object Queries {
     "dq_minhash" -> dqMinHash,
     "dq_simhash" -> dqSimHash,
     "dq_simhash_neardup" -> dqSimHashNearDup,
+    "dq_simhash_neardup_wide" -> dqSimHashNearDupWide,
     "dq_ngram_jaccard" -> dqNgramJaccard,
     "dq_completeness" -> dqCompleteness,
     "dq_extreme_zscore" -> dqExtremeZscore,
@@ -1234,6 +1286,7 @@ object Queries {
     "dq_minhash" -> dqMinHashSql,
     "dq_simhash" -> dqSimHashSql,
     "dq_simhash_neardup" -> dqSimHashNearDupSql,
+    "dq_simhash_neardup_wide" -> dqSimHashNearDupWideSql,
     "dq_ngram_jaccard" -> dqNgramJaccardSql,
     "dq_completeness" -> dqCompletenessSql,
     "dq_extreme_zscore" -> dqExtremeZscoreSql,
