@@ -53,6 +53,13 @@ object QualityPipeline {
       minHashK: Int = 32,                // signature width
       bands: Int = 8, rowsPerBand: Int = 4,
       minJaccard: Double = 0.80,         // near-dup verify threshold
+      // opt-in SimHash near-dup second opinion next to the MinHash path:
+      // Some(60) = pigeonhole-banded 60-bit rule (fine through ~10⁸
+      // docs); Some(128) = Manku block-pair banding over the wide
+      // fingerprint (the 10⁹⁺ regime — 15-bit chunks saturate there; see
+      // Rules.simHashNearDup scaladoc). Default OFF: MinHash+verify is
+      // the primary dedup path and the F1 goldens are pinned to it.
+      simHashNearDupBits: Option[Int] = None,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -70,6 +77,8 @@ object QualityPipeline {
     // bands hash to key 0 and co-bucket every short-sig doc).
     require(bands * rowsPerBand <= minHashK,
       s"bands*rowsPerBand (${bands * rowsPerBand}) must not exceed minHashK ($minHashK)")
+    require(simHashNearDupBits.forall(b => b == 60 || b == 128),
+      s"simHashNearDupBits must be 60 or 128 (got $simHashNearDupBits)")
   }
 
   val defaultConfig: Config = Config()
@@ -109,7 +118,8 @@ object QualityPipeline {
     // writer re-reads text from the source scan instead (run()).
     pages.drop("html")
       .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")),
-        cfg.minHashK, cfg.bands, cfg.rowsPerBand))
+        cfg.minHashK, cfg.bands, cfg.rowsPerBand,
+        wideSimHash = cfg.simHashNearDupBits.contains(128)))
       .withColumn("n_chars", col("__ds.n_chars"))
       .withColumn("n_words", col("__ds.n_words"))
       .withColumn("mean_word_len", col("__ds.mean_word_len"))
@@ -124,6 +134,10 @@ object QualityPipeline {
       .withColumn("perplexity", col("__ds.perplexity"))
       .withColumn("fingerprint", col("__ds.fingerprint"))
       .withColumn("simhash", col("__ds.simhash"))
+      // wide-fingerprint columns ride along only when the 128-bit rule is
+      // on (zeros otherwise — the kernel skips the 128 votes/token)
+      .withColumn("simhash_hi", col("__ds.simhash_hi"))
+      .withColumn("simhash_lo", col("__ds.simhash_lo"))
       .withColumn("minhash_sig", col("__ds.minhash_sig"))
       .withColumn("band_keys", col("__ds.band_keys"))
       .drop("__ds", "text")
@@ -509,10 +523,30 @@ object QualityPipeline {
     spark.createDataset(labels).toDF("uid", "label")
   }
 
+  /** Opt-in SimHash near-dup second opinion (cfg.simHashNearDupBits):
+    * a SECOND, cheaper dedup signal next to the MinHash path — SimHash
+    * catches multiset-preserving rewrites (token reorderings keep the
+    * frequency-weighted fingerprint identical while destroying every
+    * MinHash shingle) and costs one narrow long (or two) per doc vs k=32
+    * signature longs. 60-bit pigeonhole banding through ~10⁸ docs;
+    * 128-bit Manku block-pair banding for the 10⁹⁺ regime where 15-bit
+    * chunks saturate (Rules.scala scaladoc has the arithmetic; BENCH.md
+    * the measured occupancy histogram). None (default) adds zero work —
+    * the kernel skips the wide votes and no rule job runs.
+    */
+  def simHashVerdicts(feat: DataFrame, cfg: Config): Option[DataFrame] =
+    cfg.simHashNearDupBits.map {
+      case 60 => Rules.simHashNearDup(feat, col("url"), col("simhash"),
+        maxHamming = 3, bits = 60)
+      case 128 => Rules.simHashNearDupWide(feat, col("url"),
+        col("simhash_hi"), col("simhash_lo"), maxHamming = 6)
+    }
+
   def pass1(feat: DataFrame, cfg: Config = defaultConfig): DataFrame =
-    heuristicVerdicts(feat, cfg)
-      .unionByName(exactDupVerdicts(feat, cfg))
-      .unionByName(nearDupVerdicts(feat, cfg))
+    simHashVerdicts(feat, cfg).foldLeft(
+      heuristicVerdicts(feat, cfg)
+        .unionByName(exactDupVerdicts(feat, cfg))
+        .unionByName(nearDupVerdicts(feat, cfg)))(_ unionByName _)
 
   // ---------------------------------------------------------------------
   // Pass 2 — corpus-stat rules over pass-1 survivors
@@ -654,7 +688,9 @@ object QualityPipeline {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val v1aF = Future(ph("v1a checkpoint")(
-      heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg))
+      simHashVerdicts(feat, cfg).foldLeft(
+          heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
+          _ unionByName _)
         .coalesce(par).localCheckpoint(true)))
     val nd = ph("neardup resolve")(nearDupResolve(cand, cfg))
     // both sides are materialised leaves (v1a a checkpoint block, nd a

@@ -217,6 +217,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(distByMembers == driver, "member-bound distributed path diverged")
   }
 
+  test("simHashNearDupBits toggle: wide rule catches a multiset-preserving rewrite the MinHash path misses") {
+    // the plant: REVERSE a clean page's token sequence — the token
+    // MULTISET is unchanged (frequency-weighted simhash => Hamming 0) but
+    // the normalized text differs (no exact-dup fingerprint match) and
+    // every ordered 5-token shingle changes (MinHash Jaccard ~ 0), so
+    // only the SimHash second opinion can catch it
+    // the shared 3000-page fixture: large enough that the anchor's
+    // (lang, tld) combo is dense — a small ad-hoc corpus trips the
+    // rare-combo rule on the plant itself
+    val base = pages
+    val cleanUrl = base.select("url").collect().map(_.getString(0))
+      .filter(u => PagesGen.errorClass(idOf(u)) == "clean").min
+    val cleanText = base.filter(col("url") === cleanUrl)
+      .select("text").head().getString(0)
+    val toks = cleanText.trim.split("\\s+")
+    val rotated = toks.reverse.mkString(" ")
+    val copyUrl = cleanUrl + "x" // larger than the anchor ⇒ the dropped side
+    val copy = base.filter(col("url") === cleanUrl)
+      .withColumn("url", lit(copyUrl)).withColumn("text", lit(rotated))
+    val pages2 = base.unionByName(copy)
+
+    // toggle OFF (default): no simhash rule exists, the rewrite survives
+    val off = QualityPipeline.run(pages2)
+    val offRules = off.verdicts.filter(col("url") === copyUrl)
+      .select("rule").collect().map(_.getString(0)).toSet
+    val offKept = off.kept.filter(col("url") === copyUrl).count()
+    off.unpersist()
+    assert(offRules.isEmpty && offKept == 1L,
+      s"rewrite unexpectedly flagged with toggle off: $offRules")
+
+    // toggle ON (128): the wide rule's verdicts merge into pass 1 and the
+    // rewrite drops, keeping the min-url anchor
+    val on = QualityPipeline.run(pages2,
+      QualityPipeline.defaultConfig.copy(simHashNearDupBits = Some(128)))
+    val onRows = on.verdicts.filter(col("url") === copyUrl)
+      .select("rule", "detail").collect()
+    val onKeptCopy = on.kept.filter(col("url") === copyUrl).count()
+    val onKeptAnchor = on.kept.filter(col("url") === cleanUrl).count()
+    on.unpersist()
+    assert(onRows.map(_.getString(0)).contains("near_dup_simhash_wide"),
+      s"wide rule missing: ${onRows.toSeq}")
+    assert(onRows.filter(_.getString(0) == "near_dup_simhash_wide")
+      .forall(_.getString(1) == cleanUrl), s"wrong keeper: ${onRows.toSeq}")
+    assert(onKeptCopy == 0L && onKeptAnchor == 1L)
+
+    // the 60-bit regime catches the same plant with its own rule name
+    val on60 = QualityPipeline.run(pages2,
+      QualityPipeline.defaultConfig.copy(simHashNearDupBits = Some(60)))
+    val rules60 = on60.verdicts.filter(col("url") === copyUrl)
+      .select("rule").collect().map(_.getString(0)).toSet
+    on60.unpersist()
+    assert(rules60.contains("near_dup_simhash"), s"60-bit rule missing: $rules60")
+  }
+
   test("fused scrub and chain scrub produce identical kept output") {
     val a = QualityPipeline.run(pages, fusedScrub = false).kept
       .select("url", "scrubbed_text").collect()
