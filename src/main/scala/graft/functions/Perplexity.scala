@@ -30,8 +30,17 @@ object CharLm {
                          cnt: java.util.HashMap[String, java.lang.Double], // context+char -> count+α
                          vocab: Double)
 
-  lazy val model: Model = {
-    val corpus = LangIdModel.SeedCorpus.toSeq.sortBy(_._1).map(_._2).mkString(" ")
+  lazy val model: Model = fromText(LangIdModel.SeedCorpus.toSeq)
+
+  /** Build the LM from in-memory (lang, text) pairs — IDENTICAL math to
+    * the embedded-corpus build (sort by lang, join with " ", normalize,
+    * count order-3 grams, vocab = distinct final chars + 1), so
+    * `fromText(SeedCorpus)` reproduces [[model]] bit-for-bit
+    * (PerplexitySpec round-trips it). This is the production LM swap
+    * point: the scorer's model is data, not code.
+    */
+  def fromText(pairs: Seq[(String, String)]): Model = {
+    val corpus = pairs.sortBy(_._1).map(_._2).mkString(" ")
     val n = TextNorm.norm(corpus)
     val ctxCount = new java.util.HashMap[String, java.lang.Double]()
     val gramCount = new java.util.HashMap[String, java.lang.Double]()
@@ -46,6 +55,39 @@ object CharLm {
       i += 1
     }
     Model(ctxCount, gramCount, chars.size.toDouble + 1.0)
+  }
+
+  /** Build the LM from any (lang, text) DataFrame — the cluster-friendly
+    * loader twin of [[LangIdModel.fromTable]]: a training corpus is a few
+    * MB of curated text (the model must stay broadcast-sized; it ships
+    * inside the scorer expression to every executor), so a driver
+    * collect is the correct shape — this is model TRAINING input, not a
+    * data path.
+    */
+  def fromTable(df: org.apache.spark.sql.DataFrame): Model =
+    fromText(df.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+  /** Perplexity under an EXPLICIT model (the loader-parity scorer; the
+    * fused kernel path scores under the default [[model]]).
+    */
+  def perplexityUnder(m: Model, text: String): Double = {
+    val n = TextNorm.norm(text)
+    if (n.length < Order) return 1.0
+    var logSum = 0.0
+    var i = 0
+    val total = n.length - Order + 1
+    while (i + Order <= n.length) {
+      val ctx = n.substring(i, i + Order - 1)
+      val gram = n.substring(i, i + Order)
+      val c = m.cnt.get(gram)
+      val cc = m.ctx.get(ctx)
+      val num = (if (c == null) 0.0 else c.doubleValue()) + Alpha
+      val den = (if (cc == null) 0.0 else cc.doubleValue()) + Alpha * m.vocab
+      logSum += math.log(num / den)
+      i += 1
+    }
+    math.exp(-logSum / total)
   }
 
   /** Hash-keyed LOG-prob tables for the zero-allocation scorer
@@ -77,25 +119,7 @@ object CharLm {
     math.log(Alpha / (Alpha * model.vocab))
 
   /** Perplexity = exp(-mean log P(c | ctx)). Short/empty text ⇒ 1.0. */
-  def perplexity(text: String): Double = {
-    val m = model
-    val n = TextNorm.norm(text)
-    if (n.length < Order) return 1.0
-    var logSum = 0.0
-    var i = 0
-    val total = n.length - Order + 1
-    while (i + Order <= n.length) {
-      val ctx = n.substring(i, i + Order - 1)
-      val gram = n.substring(i, i + Order)
-      val c = m.cnt.get(gram)
-      val cc = m.ctx.get(ctx)
-      val num = (if (c == null) 0.0 else c.doubleValue()) + Alpha
-      val den = (if (cc == null) 0.0 else cc.doubleValue()) + Alpha * m.vocab
-      logSum += math.log(num / den)
-      i += 1
-    }
-    math.exp(-logSum / total)
-  }
+  def perplexity(text: String): Double = perplexityUnder(model, text)
 }
 
 /** `char_ngram_perplexity(text)` → double. */

@@ -39,6 +39,35 @@ class LangIdSpec extends AnyFunSuite {
     assert(loaded.langs.sameElements(ref.langs))
   }
 
+  test("CharLm fromText/fromTable loaders reproduce the built-in LM bit-for-bit") {
+    // in-memory pairs round-trip — identical cnt/ctx tables and vocab
+    val m1 = CharLm.fromText(LangIdModel.SeedCorpus.toSeq)
+    // file round-trip: SeedCorpus → parquet → spark.read → fromTable
+    val dir = java.nio.file.Files.createTempDirectory("charlm_corpus").toFile
+    val path = new java.io.File(dir, "corpus.parquet").getPath
+    LangIdModel.SeedCorpus.toSeq.toDF("lang", "text")
+      .write.mode("overwrite").parquet(path)
+    val m2 = CharLm.fromTable(spark.read.parquet(path))
+    val ref = CharLm.model
+    for (m <- Seq(m1, m2)) {
+      assert(m.vocab == ref.vocab)
+      assert(m.ctx == ref.ctx, "ctx count table differs")
+      assert(m.cnt == ref.cnt, "gram count table differs")
+    }
+    // scoring under the loaded model is bit-identical to the default path
+    val texts = Seq("the people would know that this is a good test",
+      "xq zvkw jfp qqqz mxnv bbtk zzz qpw xvj kkz", "")
+    texts.foreach { t =>
+      assert(CharLm.perplexityUnder(m2, t) == CharLm.perplexity(t))
+    }
+    // a DIFFERENT corpus produces a genuinely different model (the swap
+    // point is real, not a fixed table behind a loader facade)
+    val other = CharLm.fromText(Seq("xx" -> "zzz qqq kkk vvv www yyy xxx"))
+    assert(other.cnt != ref.cnt)
+    assert(CharLm.perplexityUnder(other,
+      "the people would know") != CharLm.perplexity("the people would know"))
+  }
+
   test("n-gram model classifies held-out-ish sentences per language") {
     sentences.foreach { case (lang, s) =>
       val (got, _) = LangIdModel.classify(s)
