@@ -81,6 +81,24 @@ object Bench {
     (n / sec, sec)
   }
 
+  /** One-thread memory-bandwidth spot sample + loadavg — the same noise
+    * annotation tools/scaling_matrix.sh records per pair. This host's
+    * available bandwidth swings ~3× between hour-scale co-tenant
+    * episodes (BENCH.md), which shows up as ±10-40% on memory-bound
+    * queries with UNCHANGED plans; carrying the sample inside the bench
+    * artifact lets a round-over-round regression be read against the
+    * environment it ran in instead of litigated from memory.
+    */
+  private def noiseSample(): (Double, String) = {
+    val gbps = try MemBandwidth.runLevel(1, seconds = 1.0)
+    catch { case _: Throwable => -1.0 }
+    val load = try {
+      val s = scala.io.Source.fromFile("/proc/loadavg")
+      try s.mkString.trim.split("\\s+").take(3).mkString(",") finally s.close()
+    } catch { case _: Throwable => "" }
+    (gbps, load)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -99,6 +117,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (gbpsPre, loadPre) = noiseSample()
 
     // session warmup (codegen, parquet footers, scheduler) so the
     // alphabetically-first query doesn't absorb ~4 s of one-time cost
@@ -117,12 +136,15 @@ object Bench {
     val pipeRuns = Array.fill(reps)(pipelineDocsPerSec(spark, pipelineN))
       .sortBy(_._2)
     val (docsPerSec, pipeSec) = pipeRuns(reps / 2)
+    val (gbpsPost, loadPost) = noiseSample()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 > 0).map(_._2).sum + pipeSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline_docs":$pipelineN,"pipeline_sec":$pipeSec,""" +
       s""""pipeline_docs_per_sec":$docsPerSec,"reps":$reps,""" +
+      f""""mem_gbps_1t_pre":$gbpsPre%.2f,"mem_gbps_1t_post":$gbpsPost%.2f,""" +
+      s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }

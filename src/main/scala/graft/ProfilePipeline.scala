@@ -39,6 +39,29 @@ object ProfilePipeline {
         f"${sec * 1e6 / n}%.1f us/doc, ${bytes / sec / 1e6}%.1f MB/s (sink=$sink)")
       spark.stop(); return
     }
+    if (args.length > 2 && args(2) == "expr") {
+      // EXPRESSION-BOUNDARY micro-bench: the same kernel as "kernel" mode
+      // but driven through the Catalyst expression inside a Spark plan —
+      // the delta vs kernel mode is the per-row expression dispatch cost
+      // (CodegenFallback boxed call vs doGenCode static call). Summing a
+      // struct field forces the full kernel per row.
+      import org.apache.spark.sql.Encoders
+      val texts = (0L until n).map(i => graft.sources.PagesGen.genRow(i).text)
+      val df = spark.createDataset(texts)(Encoders.STRING).toDF("text")
+        .repartition(cpus).cache()
+      df.count()
+      val c = graft.functions.DocStats.docStats(col("text"), 32, 8, 4)
+      def run(): Long = df.select((c.getField("fingerprint") % 1000000L).as("f"))
+        .agg(sum(col("f"))).head().getLong(0)
+      run(); run() // warmup (codegen + JIT)
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[prof] expr: $n docs x ${times.size} reps, median " +
+        f"${times(times.size / 2)}%.3f s = ${times(times.size / 2) * 1e6 / n}%.1f us/doc " +
+        f"(min ${times.head}%.3f max ${times.last}%.3f)")
+      spark.stop(); return
+    }
     if (args.length > 2 && args(2) == "nocache") {
       // run() dataflow with NO persistence — cache-contention bisect
       val pages = graft.sources.PagesGen.generate(spark, n, cpus).toDF()

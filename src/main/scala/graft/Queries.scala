@@ -505,6 +505,14 @@ object Queries {
     * the variance (sd ≈ 1.4–3.8k ⇒ hi-bound ≈ 3.2–8.3k ≪ 30k) while the
     * base corpus stays inside the widened band — exactly the 3 planted
     * rows flag, at sf0.001 through sf0.1 alike.
+    *
+    * SCALE LIMIT of the exact-3-rows property: the planted magnitudes are
+    * fixed, so sd-from-plants shrinks ~1/√n — past roughly sf1 the 2·sd
+    * band tightens below the base max n_chars (577) and base rows start
+    * flagging too. Oracle PARITY is unaffected (both engines see the same
+    * augmented corpus); only the "exactly 3" documentation is bounded to
+    * the stated sf0.001–sf0.1 range. A scale-proof plant would grow the
+    * magnitudes with √rowcount.
     */
   val dqExtremeZscore: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = docs(s, dir).select(col("doc_id"), col("n_chars"))

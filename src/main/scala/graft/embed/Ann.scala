@@ -203,6 +203,81 @@ object Ann {
   def autoCells(corpusSize: Long): Int =
     math.max(4, math.min(4096, math.round(math.sqrt(corpusSize.toDouble)).toInt))
 
+  // ---- static kernels for generated code (Scala objects emit static
+  // forwarders, so whole-stage codegen calls these directly — see
+  // SrpBucketsExpr/IvfCellsExpr.doGenCode) ----
+
+  def srpBucketsEval(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                     planes: Array[Array[Array[Double]]], dim: Int,
+                     nBits: Int, tables: Int, elemIsFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = arr.numElements()
+    val out = new Array[Any](tables)
+    if (n != dim) {
+      var t = 0
+      while (t < tables) { out(t) = 0L; t += 1 }
+      return new GenericArrayData(out)
+    }
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var t = 0
+    while (t < tables) {
+      val tbl = planes(t)
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = tbl(b)
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += v(j) * p(j); j += 1 }
+        if (d >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ivfCellsEval(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   cents: Array[Array[Float]], nProbe: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    val p = math.min(nProbe, cents.length)
+    if (arr.numElements() != dim || p == 0)
+      return new GenericArrayData(Array.fill[Any](math.max(1, p))(-1L))
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getFloat(i); i += 1 }
+    // partial selection of the top-p cells by cosine (p is tiny)
+    val bestIdx = new Array[Int](p)
+    val bestCos = new Array[Double](p)
+    java.util.Arrays.fill(bestCos, -3.0)
+    var c = 0
+    while (c < cents.length) {
+      val cos = cosineOf(v, cents(c))
+      var j = 0
+      var ins = -1
+      while (j < p && ins < 0) { if (cos > bestCos(j)) ins = j; j += 1 }
+      if (ins >= 0) {
+        var m = p - 1
+        while (m > ins) { bestCos(m) = bestCos(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
+        bestCos(ins) = cos; bestIdx(ins) = c
+      }
+      c += 1
+    }
+    val out = new Array[Any](p)
+    i = 0
+    while (i < p) { out(i) = bestIdx(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** IVF ANN: corpus vectors live in ONE cell each (inverted file —
     * a single narrow column, shuffle-free assignment); each query probes
     * its `nProbe` nearest cells via a broadcast equi-join on the cell id;
@@ -293,10 +368,10 @@ object Ann {
   */
 case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
                           dim: Int, nBits: Int, tables: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types._
-  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -307,38 +382,18 @@ case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expre
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Any](tables)
-    if (n != dim) {
-      var t = 0
-      while (t < tables) { out(t) = 0L; t += 1 }
-      return new GenericArrayData(out)
-    }
-    val v = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      i += 1
-    }
-    var t = 0
-    while (t < tables) {
-      val tbl = planes(t)
-      var sig = 0L
-      var b = 0
-      while (b < nBits) {
-        val p = tbl(b)
-        var d = 0.0
-        var j = 0
-        while (j < dim) { d += v(j) * p(j); j += 1 }
-        if (d >= 0) sig |= (1L << b)
-        b += 1
-      }
-      out(t) = sig
-      t += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    Ann.srpBucketsEval(input.asInstanceOf[ArrayData], planes, dim, nBits,
+      tables, elemIsFloat)
+
+  /** Whole-stage codegen: the hyperplane table rides in the references
+    * array (addReferenceObj), the per-row work is one static call.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.embed.Ann.srpBucketsEval($c, $planesRef, " +
+        s"$dim, $nBits, $tables, $elemIsFloat);")
   }
 
   override protected def withNewChildInternal(
@@ -356,44 +411,25 @@ case class SrpBucketsExpr(child: org.apache.spark.sql.catalyst.expressions.Expre
   */
 case class IvfCellsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
                         cents: Array[Array[Float]], nProbe: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types._
-  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dim = if (cents.isEmpty) 0 else cents(0).length
-    val p = math.min(nProbe, cents.length)
-    if (arr.numElements() != dim || p == 0)
-      return new GenericArrayData(Array.fill[Any](math.max(1, p))(-1L))
-    val v = new Array[Float](dim)
-    var i = 0
-    while (i < dim) { v(i) = arr.getFloat(i); i += 1 }
-    // partial selection of the top-p cells by cosine (p is tiny)
-    val bestIdx = new Array[Int](p)
-    val bestCos = new Array[Double](p)
-    java.util.Arrays.fill(bestCos, -3.0)
-    var c = 0
-    while (c < cents.length) {
-      val cos = Ann.cosineOf(v, cents(c))
-      var j = 0
-      var ins = -1
-      while (j < p && ins < 0) { if (cos > bestCos(j)) ins = j; j += 1 }
-      if (ins >= 0) {
-        var m = p - 1
-        while (m > ins) { bestCos(m) = bestCos(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
-        bestCos(ins) = cos; bestIdx(ins) = c
-      }
-      c += 1
-    }
-    val out = new Array[Any](p)
-    i = 0
-    while (i < p) { out(i) = bestIdx(i).toLong; i += 1 }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    Ann.ivfCellsEval(input.asInstanceOf[ArrayData], cents, nProbe)
+
+  /** Whole-stage codegen: the centroid table rides in the references
+    * array, the per-row work is one static call (same pattern as
+    * [[SrpBucketsExpr]]).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.embed.Ann.ivfCellsEval($c, $centsRef, $nProbe);")
   }
 
   override protected def withNewChildInternal(
