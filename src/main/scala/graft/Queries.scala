@@ -1240,6 +1240,42 @@ object Queries {
       | 'wav' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL video container metadata path: every doc gets a genuine
+    * ISO BMFF (MP4) payload ([[graft.multimodal.Multimodal.makeMp4]] —
+    * ftyp/moov/mvhd/tkhd/stts boxes to the published ISO 14496-12
+    * layout) whose dims, timescale, duration and frame count derive from
+    * the doc id; the box-walking header parse
+    * ([[graft.multimodal.Multimodal.decodeVideo]]) is oracle-checked
+    * end-to-end — the [[mmMediaMeta]]/[[mmAudioMeta]] pattern applied to
+    * the last formerly-stubbed modality. n_bytes stays out of the oracle
+    * projection (container size is not SQL-derivable).
+    */
+  val mmVideoMeta: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val withPayload = docs(s, dir).select(col("doc_id").cast(LongType)).as[Long]
+      .map { id =>
+        val ts = 1000 * (1 + (id % 3).toInt)
+        (id, graft.multimodal.Multimodal.makeMp4(
+          320 + (id % 8).toInt * 16, 240 + (id % 4).toInt * 16,
+          ts, ts * (1 + (id % 5).toInt), 24 + (id % 24).toInt))
+      }
+      .toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.extractVideoMeta(withPayload).toDF()
+      .select("doc_id", "magic_hex", "width", "height", "timescale",
+        "duration_units", "n_frames", "brand")
+      .orderBy("doc_id")
+  }
+
+  val mmVideoMetaSql: String =
+    """SELECT doc_id, '00000018' AS magic_hex,
+      | (320 + (doc_id % 8) * 16)::INT AS width,
+      | (240 + (doc_id % 4) * 16)::INT AS height,
+      | (1000 * (1 + doc_id % 3))::BIGINT AS timescale,
+      | (1000 * (1 + doc_id % 3) * (1 + doc_id % 5))::BIGINT AS duration_units,
+      | (24 + doc_id % 24)::BIGINT AS n_frames,
+      | 'isom' AS brand
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1275,6 +1311,7 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_media_meta" -> mmMediaMeta,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_video_meta" -> mmVideoMeta,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1316,6 +1353,7 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_media_meta" -> mmMediaMetaSql,
     "mm_audio_meta" -> mmAudioMetaSql,
+    "mm_video_meta" -> mmVideoMetaSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,

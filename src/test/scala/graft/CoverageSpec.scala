@@ -116,4 +116,30 @@ class CoverageSpec extends AnyFunSuite {
     assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet ==
       again.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet)
   }
+
+  test("multimodal: ISO BMFF video header decode round-trips makeMp4 and rejects junk") {
+    import graft.multimodal.Multimodal
+    // round-trip: every field of the parsed header equals the mux input
+    for ((w, h, ts, dur, nf) <- Seq((320, 240, 1000, 5000, 24),
+      (1920, 1080, 90000, 90000 * 3, 72), (160, 120, 600, 600, 1))) {
+      val bytes = Multimodal.makeMp4(w, h, ts, dur, nf)
+      val got = Multimodal.decodeVideo(bytes)
+      assert(got.contains((w, h, ts.toLong, dur.toLong, nf.toLong, "isom")),
+        s"decode mismatch for ($w,$h,$ts,$dur,$nf): $got")
+    }
+    // junk, truncated and non-video payloads are rejected, not crashed
+    assert(Multimodal.decodeVideo(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeVideo("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeVideo(Multimodal.makePng(8, 8, 1L)).isEmpty)
+    assert(Multimodal.decodeVideo(
+      Multimodal.makeMp4(320, 240, 1000, 5000, 24).take(40)).isEmpty)
+    // typed extraction surfaces unknowns as the sentinel row
+    val df = Seq(
+      (1L, Multimodal.makeMp4(640, 480, 1000, 2000, 48)),
+      (2L, Array.fill[Byte](64)(9))).toDF("doc_id", "payload")
+    val vm = Multimodal.extractVideoMeta(df).collect().map(m => m.doc_id -> m).toMap
+    assert(vm(1L).width == 640 && vm(1L).height == 480 &&
+      vm(1L).n_frames == 48 && vm(1L).brand == "isom")
+    assert(vm(2L).n_frames == -1L && vm(2L).brand == "unknown")
+  }
 }

@@ -85,6 +85,28 @@ class TextFnsSpec extends AnyFunSuite {
     assert(composed.toSeq == fused.toSeq)
   }
 
+  test("Md5SimHashWideExpr matches the documented md5 hex-slice formula") {
+    // single distinct token ⇒ majority vote degenerates to the token's
+    // own bits, so the fingerprint halves must equal the DuckDB twin's
+    // ('0x'||substr(md5('abc'),1,15))::BIGINT and substr(...,17,15):
+    // md5("abc") = 900150983cd24fb0 d6963f7d28e17f72
+    val r = Seq("abc").toDF("t")
+      .select(graft.functions.Md5SimHash.md5SimHashWide(col("t")).as("w"))
+      .select(col("w.hi"), col("w.lo")).head()
+    assert(r.getLong(1) == 0x900150983cd24fbL, "lo ≠ md5 hex chars 1-15")
+    assert(r.getLong(0) == 0xd6963f7d28e17f7L, "hi ≠ md5 hex chars 17-31")
+    // empty text → (0, 0), matching the SQL len(hs)=0 guard
+    val z = Seq("").toDF("t")
+      .select(graft.functions.Md5SimHash.md5SimHashWide(col("t")).as("w"))
+      .select(col("w.hi"), col("w.lo")).head()
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L)
+    // dedup + lowercase: same distinct-token multiset ⇒ same fingerprint
+    val two = Seq("Abc ABC abc", "abc").toDF("t")
+      .select(graft.functions.Md5SimHash.md5SimHashWide(col("t")).as("w"))
+      .select(col("w.hi"), col("w.lo")).collect()
+    assert(two(0) == two(1))
+  }
+
   test("simHash: near docs within small hamming distance, empty → 0") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog entirely today"),
