@@ -1276,6 +1276,139 @@ object Queries {
       | 'isom' AS brand
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The Gopher repetition battery ([[graft.functions.Repetition]]) over
+    * the documents table, oracle-checked field by field. The synthetic
+    * documents carry no newlines, so the query plants deterministic
+    * id-derived structure on BOTH sides (the dq_extreme_zscore
+    * augmentation pattern): a duplicated line and a duplicated paragraph
+    * whose content/length vary with doc_id — every fraction is nonzero
+    * and doc-dependent. All fractions are exact int/int double divisions
+    * (bit-identical across engines, round 6 is safe); the tie-break for
+    * the top n-gram is count DESC then UTF-8-byte order, identical in
+    * the kernel and DuckDB's binary collation.
+    */
+  val dqRepetition: (SparkSession, String) => DataFrame = (s, dir) => {
+    val plantLine = concat(lit("dup line "), (col("doc_id") % 7).cast("string"))
+    val plantPara = expr("substring(text, 1, CAST(60 + doc_id % 40 AS INT))")
+    val t2 = concat(col("text"), lit("\n"), plantLine, lit("\n"), plantLine,
+      lit("\n\n"), plantPara, lit("\n\n"), plantPara)
+    docs(s, dir)
+      .select(col("doc_id"), graft.functions.Repetition.repetition(t2).as("r"))
+      .select(col("doc_id"), col("r.n_paras").as("n_paras"),
+        round(col("r.dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("r.dup_para_frac"), 6).as("dup_para_frac"),
+        round(col("r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        round(col("r.dup_para_char_frac"), 6).as("dup_para_char_frac"),
+        round(col("r.top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+        round(col("r.top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+        round(col("r.top_4gram_char_frac"), 6).as("top_4gram_char_frac"),
+        round(col("r.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
+        round(col("r.dup_10gram_char_frac"), 6).as("dup_10gram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB brute-force twin of the battery: list ops re-derive every
+    * fraction from scratch (no shared code with the kernel). Gram CTEs
+    * are generated per n; the masked dup-n-gram re-expands duplicated
+    * windows to word POSITIONS and de-dups them before summing — the
+    * same cover semantics as the kernel's boolean mask.
+    */
+  val dqRepetitionSql: String = {
+    def gramCte(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, u.i AS i, u.g AS g FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ws) >= $n
+         |      THEN list_transform(generate_series(1, len(ws) - ${n - 1}),
+         |                          i -> {'i': i, 'g': array_to_string(ws[i:i+${n - 1}], ' ')})
+         |      ELSE [] END) AS u
+         |    FROM wordsv)
+         |)""".stripMargin
+    def topCte(n: Int): String =
+      s"""top$n AS (
+         |  SELECT doc_id, c * (length(g) - ${n - 1}) AS top_chars FROM (
+         |    SELECT doc_id, g, count(*) AS c,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+         |    FROM g$n GROUP BY doc_id, g)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def dupCte(n: Int): String =
+      s"""dup$n AS (
+         |  SELECT doc_id, sum(ch) AS masked_chars FROM (
+         |    SELECT DISTINCT p.doc_id, p.j, length(w.ws[p.j]) AS ch
+         |    FROM (
+         |      SELECT doc_id, unnest(generate_series(i, i + ${n - 1})) AS j
+         |      FROM g$n o
+         |      WHERE EXISTS (SELECT 1 FROM (SELECT doc_id, g, count(*) AS c
+         |                                   FROM g$n GROUP BY doc_id, g) d
+         |                    WHERE d.doc_id = o.doc_id AND d.g = o.g AND d.c >= 2)
+         |    ) p JOIN wordsv w ON w.doc_id = p.doc_id
+         |  ) GROUP BY doc_id
+         |)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    text || chr(10) || 'dup line ' || (doc_id % 7)::VARCHAR
+       |         || chr(10) || 'dup line ' || (doc_id % 7)::VARCHAR
+       |         || chr(10) || chr(10) || substr(text, 1, CAST(60 + doc_id % 40 AS INT))
+       |         || chr(10) || chr(10) || substr(text, 1, CAST(60 + doc_id % 40 AS INT)) AS t2
+       |  FROM documents
+       |),
+       |lines AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(t2, chr(10)), x -> x <> '')) AS seg FROM base
+       |),
+       |lstat AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ch FROM lines GROUP BY doc_id, seg),
+       |lfrac AS (
+       |  SELECT doc_id,
+       |    (sum(c) - count(*))::DOUBLE / sum(c) AS dup_line_frac,
+       |    (sum(c*ch) - sum(ch))::DOUBLE / sum(c*ch) AS dup_line_char_frac
+       |  FROM lstat GROUP BY doc_id
+       |),
+       |paras AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(t2, chr(10)||chr(10)), x -> x <> '')) AS seg FROM base
+       |),
+       |pcnt AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+       |pstat AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS ch FROM paras GROUP BY doc_id, seg),
+       |pfrac AS (
+       |  SELECT doc_id,
+       |    (sum(c) - count(*))::DOUBLE / sum(c) AS dup_para_frac,
+       |    (sum(c*ch) - sum(ch))::DOUBLE / sum(c*ch) AS dup_para_char_frac
+       |  FROM pstat GROUP BY doc_id
+       |),
+       |wordsv AS (SELECT doc_id, ${Frag.toks("t2")} AS ws,
+       |           ${Frag.sumTokLen("t2")} AS wchars FROM base),
+       |${gramCte(2)},
+       |${gramCte(3)},
+       |${gramCte(4)},
+       |${gramCte(5)},
+       |${gramCte(10)},
+       |${topCte(2)},
+       |${topCte(3)},
+       |${topCte(4)},
+       |${dupCte(5)},
+       |${dupCte(10)}
+       |SELECT b.doc_id,
+       |  coalesce(pc.n_paras, 0)::INT AS n_paras,
+       |  round(coalesce(lf.dup_line_frac, 0), 6) AS dup_line_frac,
+       |  round(coalesce(pf.dup_para_frac, 0), 6) AS dup_para_frac,
+       |  round(coalesce(lf.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+       |  round(coalesce(pf.dup_para_char_frac, 0), 6) AS dup_para_char_frac,
+       |  round(coalesce(t2g.top_chars, 0) / nullif(wv.wchars, 0)::DOUBLE, 6) AS top_2gram_char_frac,
+       |  round(coalesce(t3g.top_chars, 0) / nullif(wv.wchars, 0)::DOUBLE, 6) AS top_3gram_char_frac,
+       |  round(coalesce(t4g.top_chars, 0) / nullif(wv.wchars, 0)::DOUBLE, 6) AS top_4gram_char_frac,
+       |  round(coalesce(d5.masked_chars, 0) / nullif(wv.wchars, 0)::DOUBLE, 6) AS dup_5gram_char_frac,
+       |  round(coalesce(d10.masked_chars, 0) / nullif(wv.wchars, 0)::DOUBLE, 6) AS dup_10gram_char_frac
+       |FROM base b
+       |LEFT JOIN pcnt pc USING (doc_id)
+       |LEFT JOIN lfrac lf USING (doc_id)
+       |LEFT JOIN pfrac pf USING (doc_id)
+       |LEFT JOIN wordsv wv USING (doc_id)
+       |LEFT JOIN top2 t2g USING (doc_id)
+       |LEFT JOIN top3 t3g USING (doc_id)
+       |LEFT JOIN top4 t4g USING (doc_id)
+       |LEFT JOIN dup5 d5 USING (doc_id)
+       |LEFT JOIN dup10 d10 USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1312,6 +1445,7 @@ object Queries {
     "mm_media_meta" -> mmMediaMeta,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_video_meta" -> mmVideoMeta,
+    "dq_repetition" -> dqRepetition,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1354,6 +1488,7 @@ object Queries {
     "mm_media_meta" -> mmMediaMetaSql,
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_video_meta" -> mmVideoMetaSql,
+    "dq_repetition" -> dqRepetitionSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,
