@@ -60,6 +60,20 @@ object QualityPipeline {
       // Rules.simHashNearDup scaladoc). Default OFF: MinHash+verify is
       // the primary dedup path and the F1 goldens are pinned to it.
       simHashNearDupBits: Option[Int] = None,
+      // opt-in Gopher repetition battery (Rae et al. 2021 Table A1) as
+      // extra pass-1 rules; thresholds are the published ones. Default
+      // OFF: the F1 goldens are pinned to the reference-derived rule set,
+      // and the battery costs a second fused scan column (~ms/doc gram
+      // maps) only when enabled.
+      gopherRepetition: Boolean = false,
+      maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaCharFrac: Double = 0.20,
+      maxTop2GramCharFrac: Double = 0.20,
+      maxTop3GramCharFrac: Double = 0.18,
+      maxTop4GramCharFrac: Double = 0.16,
+      maxDup5GramCharFrac: Double = 0.15,
+      maxDup10GramCharFrac: Double = 0.10,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -108,7 +122,24 @@ object QualityPipeline {
     * re-evaluates per element — see DocStats scaladoc). TextFns remains
     * the semantic reference; DocStatsSpec cross-validates the two paths.
     */
-  def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame =
+  def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    // Gopher repetition battery rides the same feature scan as an extra
+    // fused expression when toggled on (still ONE pass over text, still
+    // no text in the output frame); zero cost when off.
+    def withRepetition(df: DataFrame): DataFrame =
+      if (!cfg.gopherRepetition) df
+      else df
+        .withColumn("__rep",
+          graft.functions.Repetition.repetition(coalesce(col("text"), lit(""))))
+        .withColumn("rep_dup_para_frac", col("__rep.dup_para_frac"))
+        .withColumn("rep_dup_line_char_frac", col("__rep.dup_line_char_frac"))
+        .withColumn("rep_dup_para_char_frac", col("__rep.dup_para_char_frac"))
+        .withColumn("rep_top_2gram_char_frac", col("__rep.top_2gram_char_frac"))
+        .withColumn("rep_top_3gram_char_frac", col("__rep.top_3gram_char_frac"))
+        .withColumn("rep_top_4gram_char_frac", col("__rep.top_4gram_char_frac"))
+        .withColumn("rep_dup_5gram_char_frac", col("__rep.dup_5gram_char_frac"))
+        .withColumn("rep_dup_10gram_char_frac", col("__rep.dup_10gram_char_frac"))
+        .drop("__rep")
     // html is the raw payload (text extraction input) — nothing after the
     // feature stage reads it. text is ALSO dropped from the feature frame
     // (see the final .drop): every rule below reads only the computed
@@ -116,7 +147,7 @@ object QualityPipeline {
     // cannot exist at corpus scale (100 TB of text does not fit a
     // cluster's storage memory; ~300 B/doc of features does). The kept
     // writer re-reads text from the source scan instead (run()).
-    pages.drop("html")
+    withRepetition(pages.drop("html"))
       .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")),
         cfg.minHashK, cfg.bands, cfg.rowsPerBand,
         wideSimHash = cfg.simHashNearDupBits.contains(128)))
@@ -141,6 +172,7 @@ object QualityPipeline {
       .withColumn("minhash_sig", col("__ds.minhash_sig"))
       .withColumn("band_keys", col("__ds.band_keys"))
       .drop("__ds", "text")
+  }
 
   // ---------------------------------------------------------------------
   // Pass 1 rules
@@ -161,7 +193,7 @@ object QualityPipeline {
       when(cond, struct(lit(rule).as("rule"),
         score.cast(DoubleType).as("score"),
         detail.cast("string").as("detail")))
-    val entries = array(
+    val baseEntries = Seq(
       // null text computes features over "" (n_words = 0 < minWords), so
       // the empty rule needs no text reference — the frame carries none
       entry(col("n_words") < cfg.minWords,
@@ -185,6 +217,23 @@ object QualityPipeline {
         "lang_mismatch", col("lang_id.score"), col("lang_id.lang")),
       entry(col("toxicity_hits") > cfg.maxToxicityHits,
         "toxicity", col("toxicity_hits"), lit("max_toxicity_hits")))
+    // opt-in Gopher repetition rules (published Table A1 thresholds);
+    // the rep_* columns only exist when cfg.gopherRepetition is on
+    val repEntries =
+      if (!cfg.gopherRepetition) Seq.empty[Column]
+      else Seq(
+        ("rep_dup_para_frac", cfg.maxDupParaFrac, "gopher_dup_para"),
+        ("rep_dup_line_char_frac", cfg.maxDupLineCharFrac, "gopher_dup_line_chars"),
+        ("rep_dup_para_char_frac", cfg.maxDupParaCharFrac, "gopher_dup_para_chars"),
+        ("rep_top_2gram_char_frac", cfg.maxTop2GramCharFrac, "gopher_top_2gram"),
+        ("rep_top_3gram_char_frac", cfg.maxTop3GramCharFrac, "gopher_top_3gram"),
+        ("rep_top_4gram_char_frac", cfg.maxTop4GramCharFrac, "gopher_top_4gram"),
+        ("rep_dup_5gram_char_frac", cfg.maxDup5GramCharFrac, "gopher_dup_5gram"),
+        ("rep_dup_10gram_char_frac", cfg.maxDup10GramCharFrac, "gopher_dup_10gram"))
+        .map { case (c, thr, rule) =>
+          entry(col(c) > thr, rule, col(c), lit(c.stripPrefix("rep_")))
+        }
+    val entries = array(baseEntries ++ repEntries: _*)
     feat.select(col("url"), explode(entries).as("__e"))
       .filter(col("__e").isNotNull)
       .select(col("url"), col("__e.rule").as("rule"),

@@ -271,6 +271,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(rules60.contains("near_dup_simhash"), s"60-bit rule missing: $rules60")
   }
 
+  test("gopherRepetition toggle: planted repetitive doc trips the Table A1 rules; off by default") {
+    // plant: a standalone doc (copied row metadata, fresh text — NOT a
+    // textual near-copy of anything, so the MinHash path stays silent)
+    // whose text is a short unique preamble + a 2-word phrase repeated
+    // 120× — top-2gram and masked dup-5/10-gram fractions all blow
+    // through the published thresholds
+    val base = pages
+    val cleanUrl = base.select("url").collect().map(_.getString(0))
+      .filter(u => PagesGen.errorClass(idOf(u)) == "clean").min
+    val plantUrl = cleanUrl + "rep"
+    val preamble = (1 to 35).map(i => "unique" + i).mkString(" ")
+    val plantText = preamble + (" the data" * 120)
+    val plant = base.filter(col("url") === cleanUrl)
+      .withColumn("url", lit(plantUrl)).withColumn("text", lit(plantText))
+    val pages2 = base.unionByName(plant)
+
+    // toggle OFF (default): no rep_* columns, no gopher_* rules anywhere
+    val featOff = QualityPipeline.features(pages2)
+    assert(!featOff.columns.exists(_.startsWith("rep_")))
+    val offRules = QualityPipeline.heuristicVerdicts(featOff, QualityPipeline.defaultConfig)
+      .select("rule").distinct().collect().map(_.getString(0)).toSet
+    assert(!offRules.exists(_.startsWith("gopher_")), s"unexpected: $offRules")
+
+    // toggle ON: the battery fires on the plant with the published rules
+    val cfgOn = QualityPipeline.defaultConfig.copy(gopherRepetition = true)
+    val featOn = QualityPipeline.features(pages2, cfgOn)
+    val plantRules = QualityPipeline.heuristicVerdicts(featOn, cfgOn)
+      .filter(col("url") === plantUrl)
+      .select("rule").collect().map(_.getString(0)).toSet
+    assert(plantRules.contains("gopher_top_2gram") &&
+      plantRules.contains("gopher_dup_5gram") &&
+      plantRules.contains("gopher_dup_10gram"), s"got: $plantRules")
+
+    // end-to-end: the plant drops under the toggle, and the battery does
+    // not disturb the golden keep/drop — on the standard corpus it fires
+    // ONLY on pages other rules already drop (repeated_lines /
+    // symbol_junk / empty plants; clean pages measure top-2gram ≤ ~0.06,
+    // far below the 0.20 threshold), so the kept set equals the golden
+    // kept set exactly
+    val on = QualityPipeline.run(pages2, cfgOn)
+    val keptUrls = on.kept.select("url").collect().map(_.getString(0)).toSet
+    val gopherOnClean = on.verdicts
+      .filter(col("rule").startsWith("gopher_")).select("url").collect()
+      .map(_.getString(0)).filter(u => u != plantUrl &&
+        PagesGen.errorClass(idOf(u)) == "clean")
+    on.unpersist()
+    val allUrls = base.select("url").collect().map(_.getString(0)).toSet
+    assert(!keptUrls.contains(plantUrl))
+    assert(gopherOnClean.isEmpty,
+      s"battery fired on clean pages: ${gopherOnClean.take(5).toSeq}")
+    assert(keptUrls == (allUrls -- goldenDrop),
+      s"golden keep set disturbed: extra=${(keptUrls -- (allUrls -- goldenDrop)).take(3)}, missing=${((allUrls -- goldenDrop) -- keptUrls).take(3)}")
+  }
+
   test("fused scrub and chain scrub produce identical kept output") {
     val a = QualityPipeline.run(pages, fusedScrub = false).kept
       .select("url", "scrubbed_text").collect()
