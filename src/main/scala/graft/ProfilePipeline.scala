@@ -39,6 +39,23 @@ object ProfilePipeline {
         f"${sec * 1e6 / n}%.1f us/doc, ${bytes / sec / 1e6}%.1f MB/s (sink=$sink)")
       spark.stop(); return
     }
+    if (args.length > 2 && args(2) == "rep") {
+      // single-thread Gopher-repetition kernel micro-bench (opt-in second
+      // scan column — this is the per-doc price of the battery)
+      val texts = (0L until n).map(i =>
+        graft.sources.PagesGen.genRow(i).text).toArray
+      val bytes = texts.map(_.length.toLong).sum
+      texts.take(2000).foreach(t => graft.functions.Repetition.compute(t))
+      val t0 = System.nanoTime()
+      var sink = 0.0
+      texts.foreach { t =>
+        sink += graft.functions.Repetition.compute(t).top2
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] rep: $n docs, ${bytes / 1e6}%.1f MB, $sec%.2f s = " +
+        f"${sec * 1e6 / n}%.1f us/doc, ${bytes / sec / 1e6}%.1f MB/s (sink=$sink%.1f)")
+      spark.stop(); return
+    }
     if (args.length > 2 && args(2) == "expr") {
       // EXPRESSION-BOUNDARY micro-bench: the same kernel as "kernel" mode
       // but driven through the Catalyst expression inside a Spark plan —

@@ -1409,6 +1409,71 @@ object Queries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** The C4/RefinedWeb line-level battery ([[graft.functions.C4Stats]])
+    * over the documents table. The synthetic docs carry no newlines or
+    * punctuation, so the query plants id-derived sentence/line structure
+    * on BOTH sides: a punctuated first line with a varying sentence tail,
+    * bullet/dash/ellipsis/terminal lines, and conditional lorem-ipsum /
+    * curly-brace / javascript lines — every field varies with doc_id.
+    */
+  val dqC4Lines: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t3 = concat(
+      expr("substring(text, 1, CAST(50 + doc_id % 60 AS INT))"),
+      lit(". Second sentence! Third one? "),
+      expr("repeat('Go. ', CAST(doc_id % 4 AS INT))"),
+      lit("\n• bullet item "), (col("doc_id") % 5).cast("string"),
+      lit("\n- dash item"),
+      lit("\ntrailing thought..."),
+      lit("\nThis line ends well.\n"),
+      when(col("doc_id") % 17 === 0, "Lorem Ipsum dolor")
+        .otherwise("regular line with many words here"), lit("\n"),
+      when(col("doc_id") % 13 === 0, "code { x }")
+        .otherwise("no brace line here at all"), lit("\n"),
+      when(col("doc_id") % 11 === 0, "enable JavaScript to view")
+        .otherwise("static content line"))
+    docs(s, dir)
+      .select(col("doc_id"), graft.functions.C4Stats.c4Stats(t3).as("c"))
+      .select(col("doc_id"),
+        col("c.n_lines").as("n_lines"),
+        col("c.n_sentences").as("n_sentences"),
+        round(col("c.frac_lines_end_terminal"), 6).as("frac_lines_end_terminal"),
+        round(col("c.frac_lines_start_bullet"), 6).as("frac_lines_start_bullet"),
+        round(col("c.frac_lines_end_ellipsis"), 6).as("frac_lines_end_ellipsis"),
+        round(col("c.frac_short_lines"), 6).as("frac_short_lines"),
+        round(col("c.frac_js_lines"), 6).as("frac_js_lines"),
+        col("c.has_lorem_ipsum").as("has_lorem_ipsum"),
+        col("c.has_curly_brace").as("has_curly_brace"))
+      .orderBy("doc_id")
+  }
+
+  val dqC4LinesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, CAST(50 + doc_id % 60 AS INT)) || '. Second sentence! Third one? '
+      |      || repeat('Go. ', CAST(doc_id % 4 AS INT))
+      |      || chr(10) || '• bullet item ' || (doc_id % 5)::VARCHAR
+      |      || chr(10) || '- dash item'
+      |      || chr(10) || 'trailing thought...'
+      |      || chr(10) || 'This line ends well.'
+      |      || chr(10) || CASE WHEN doc_id % 17 = 0 THEN 'Lorem Ipsum dolor' ELSE 'regular line with many words here' END
+      |      || chr(10) || CASE WHEN doc_id % 13 = 0 THEN 'code { x }' ELSE 'no brace line here at all' END
+      |      || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'enable JavaScript to view' ELSE 'static content line' END
+      |    AS t3
+      |  FROM documents
+      |),
+      |lv AS (SELECT doc_id, t3, list_filter(string_split(t3, chr(10)), x -> x <> '') AS ls FROM base)
+      |SELECT doc_id,
+      |  len(ls)::INT AS n_lines,
+      |  len(regexp_extract_all(t3, '[.!?](\s|$)'))::INT AS n_sentences,
+      |  round(len(list_filter(ls, x -> substr(x, length(x), 1) IN ('.','!','?','"')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_terminal,
+      |  round(len(list_filter(ls, x -> substr(x, 1, 1) IN ('•','-','*')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_start_bullet,
+      |  round(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_ellipsis,
+      |  round(len(list_filter(ls, x -> len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) < 5))::DOUBLE / nullif(len(ls), 0), 6) AS frac_short_lines,
+      |  round(len(list_filter(ls, x -> contains(lower(x), 'javascript')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_js_lines,
+      |  contains(lower(t3), 'lorem ipsum') AS has_lorem_ipsum,
+      |  contains(t3, '{') AS has_curly_brace
+      |FROM lv ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1446,6 +1511,7 @@ object Queries {
     "mm_audio_meta" -> mmAudioMeta,
     "mm_video_meta" -> mmVideoMeta,
     "dq_repetition" -> dqRepetition,
+    "dq_c4_lines" -> dqC4Lines,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1489,6 +1555,7 @@ object Queries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_video_meta" -> mmVideoMetaSql,
     "dq_repetition" -> dqRepetitionSql,
+    "dq_c4_lines" -> dqC4LinesSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,

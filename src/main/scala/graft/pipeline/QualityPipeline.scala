@@ -74,6 +74,15 @@ object QualityPipeline {
       maxTop4GramCharFrac: Double = 0.16,
       maxDup5GramCharFrac: Double = 0.15,
       maxDup10GramCharFrac: Double = 0.10,
+      // opt-in C4/RefinedWeb line battery (page-DROP rules only — the C4
+      // line-EDIT rules would break the byte-identical scrub contract).
+      // Default OFF, and note the golden fixture corpus is
+      // punctuation-free, so minSentences is corpus-inappropriate there
+      // (C4RulesSpec exercises the battery on a sentence-bearing corpus).
+      c4Rules: Boolean = false,
+      minSentences: Int = 3,             // C4 page rule
+      maxBulletStartFrac: Double = 0.90, // RefinedWeb
+      maxEllipsisEndFrac: Double = 0.30, // RefinedWeb
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -140,6 +149,19 @@ object QualityPipeline {
         .withColumn("rep_dup_5gram_char_frac", col("__rep.dup_5gram_char_frac"))
         .withColumn("rep_dup_10gram_char_frac", col("__rep.dup_10gram_char_frac"))
         .drop("__rep")
+    // C4/RefinedWeb line battery, same pattern: extra fused expression in
+    // the single feature scan when toggled on, zero cost when off
+    def withC4(df: DataFrame): DataFrame =
+      if (!cfg.c4Rules) df
+      else df
+        .withColumn("__c4",
+          graft.functions.C4Stats.c4Stats(coalesce(col("text"), lit(""))))
+        .withColumn("c4_n_sentences", col("__c4.n_sentences"))
+        .withColumn("c4_bullet_frac", col("__c4.frac_lines_start_bullet"))
+        .withColumn("c4_ellipsis_frac", col("__c4.frac_lines_end_ellipsis"))
+        .withColumn("c4_lorem_ipsum", col("__c4.has_lorem_ipsum"))
+        .withColumn("c4_curly_brace", col("__c4.has_curly_brace"))
+        .drop("__c4")
     // html is the raw payload (text extraction input) — nothing after the
     // feature stage reads it. text is ALSO dropped from the feature frame
     // (see the final .drop): every rule below reads only the computed
@@ -147,7 +169,7 @@ object QualityPipeline {
     // cannot exist at corpus scale (100 TB of text does not fit a
     // cluster's storage memory; ~300 B/doc of features does). The kept
     // writer re-reads text from the source scan instead (run()).
-    withRepetition(pages.drop("html"))
+    withC4(withRepetition(pages.drop("html")))
       .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")),
         cfg.minHashK, cfg.bands, cfg.rowsPerBand,
         wideSimHash = cfg.simHashNearDupBits.contains(128)))
@@ -233,7 +255,22 @@ object QualityPipeline {
         .map { case (c, thr, rule) =>
           entry(col(c) > thr, rule, col(c), lit(c.stripPrefix("rep_")))
         }
-    val entries = array(baseEntries ++ repEntries: _*)
+    // opt-in C4/RefinedWeb page-drop rules (published thresholds); the
+    // c4_* columns only exist when cfg.c4Rules is on
+    val c4Entries =
+      if (!cfg.c4Rules) Seq.empty[Column]
+      else Seq(
+        entry(col("c4_n_sentences") < cfg.minSentences,
+          "c4_min_sentences", col("c4_n_sentences"), lit("min_sentences")),
+        entry(col("c4_bullet_frac") > cfg.maxBulletStartFrac,
+          "rw_bullet_lines", col("c4_bullet_frac"), lit("bullet_start_frac")),
+        entry(col("c4_ellipsis_frac") > cfg.maxEllipsisEndFrac,
+          "rw_ellipsis_lines", col("c4_ellipsis_frac"), lit("ellipsis_end_frac")),
+        entry(col("c4_lorem_ipsum"), "c4_lorem_ipsum",
+          col("c4_lorem_ipsum").cast("int"), lit("placeholder_text")),
+        entry(col("c4_curly_brace"), "c4_curly_brace",
+          col("c4_curly_brace").cast("int"), lit("code_brace")))
+    val entries = array(baseEntries ++ repEntries ++ c4Entries: _*)
     feat.select(col("url"), explode(entries).as("__e"))
       .filter(col("__e").isNotNull)
       .select(col("url"), col("__e.rule").as("rule"),
