@@ -36,10 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (DuckDB `length()`).
   *
   * Scale shape: one pass, no shuffle, ~O(n_words) time and memory per
-  * document (five small per-doc hash maps). This is an OPT-IN second
-  * scan column (`QualityPipeline.Config.gopherRepetition`), not part of
-  * the always-on DocStats kernel, because the gram maps allocate per doc
-  * — the always-on kernel stays allocation-lean at ~100 µs/doc.
+  * document. Grams are counted as SPANS of one normalized word buffer
+  * (Rabin-Karp prefix hashes + open-addressing tables with exact span
+  * comparison — a hash collision can never merge two distinct grams),
+  * so the whole battery allocates a handful of arrays per doc instead
+  * of one string per gram: measured 256 → 88 µs/doc single-thread
+  * (`ProfilePipeline 1 50000 rep`). This is an OPT-IN second scan
+  * column (`QualityPipeline.Config.gopherRepetition`), not part of the
+  * always-on DocStats kernel (~100 µs/doc), because the battery roughly
+  * doubles per-doc CPU when enabled.
   */
 object Repetition {
 
@@ -110,118 +115,213 @@ object Repetition {
     out
   }
 
-  private def words(s: String): Array[String] = {
-    val out = new java.util.ArrayList[String]()
-    var i = 0
-    var ts = -1
-    val len = s.length
-    while (i <= len) {
-      if (i == len || isWs(s.charAt(i))) {
-        if (ts >= 0) { out.add(s.substring(ts, i)); ts = -1 }
-      } else if (ts < 0) ts = i
-      i += 1
-    }
-    out.toArray(new Array[String](out.size))
-  }
-
-  /** unsigned lexicographic compare of UTF-8 byte encodings — DuckDB's
-    * default binary varchar collation, so kernel and SQL pick the SAME
-    * tie-break n-gram.
+  
+  
+  /** Normalized word buffer: the document's whitespace tokens joined by
+    * single spaces, as one char[] — every n-gram (words joined by ' ',
+    * the same key the SQL twin builds) is then a CONTIGUOUS SPAN of this
+    * buffer, so gram counting needs zero per-gram allocation. `off(i)` is
+    * word i's start; word i spans `[off(i), off(i+1) - 1)`; the n-gram at
+    * window i spans `[off(i), off(i + n) - 1)` (with a sentinel
+    * `off(nWords) = len + 1`).
     */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(ab.length, bb.length)
-    var i = 0
-    while (i < n) {
-      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    ab.length < bb.length
-  }
-
-  private def grams(ws: Array[String], n: Int): Array[String] = {
-    if (ws.length < n) return Array.empty
-    val out = new Array[String](ws.length - n + 1)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < out.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(ws(i + j))
-        j += 1
+  private final class WordBuf(s: String) {
+    val (buf, off, nWords) = {
+      val b = new java.lang.StringBuilder(s.length)
+      val offs = new java.util.ArrayList[Integer]()
+      var i = 0
+      var ts = -1
+      val len = s.length
+      while (i <= len) {
+        if (i == len || isWs(s.charAt(i))) {
+          if (ts >= 0) {
+            offs.add(b.length())
+            b.append(s, ts, i).append(' ')
+            ts = -1
+          }
+        } else if (ts < 0) ts = i
+        i += 1
       }
-      out(i) = sb.toString
+      val n = offs.size
+      val o = new Array[Int](n + 1)
+      var k = 0
+      while (k < n) { o(k) = offs.get(k); k += 1 }
+      o(n) = b.length() // sentinel: one past the trailing space
+      val arr = new Array[Char](b.length())
+      b.getChars(0, b.length(), arr, 0)
+      (arr, o, n)
+    }
+    @inline def gramStart(i: Int): Int = off(i)
+    @inline def gramEnd(i: Int, n: Int): Int = off(i + n) - 1
+    /** total code points over all words (spaces excluded) */
+    def totalWordChars: Long = {
+      var cp = 0L
+      var i = 0
+      while (i < buf.length) {
+        if (!Character.isLowSurrogate(buf(i)) && buf(i) != ' ') cp += 1
+        else if (buf(i) == ' ') () // joiner
+        i += 1
+      }
+      cp
+    }
+    /** code points in span [a, b) of buf */
+    def cpCount(a: Int, b: Int): Int = {
+      var cp = 0
+      var i = a
+      while (i < b) { if (!Character.isLowSurrogate(buf(i))) cp += 1; i += 1 }
+      cp
+    }
+    // Rabin-Karp prefix hashes: h(a, b) in O(1) per span
+    val (ph, pw) = {
+      val m = buf.length
+      val h = new Array[Long](m + 1)
+      val p = new Array[Long](m + 1)
+      p(0) = 1L
+      var i = 0
+      while (i < m) {
+        h(i + 1) = h(i) * 1099511628211L + buf(i)
+        p(i + 1) = p(i) * 1099511628211L
+        i += 1
+      }
+      (h, p)
+    }
+    @inline def spanHash(a: Int, b: Int): Long = ph(b) - ph(a) * pw(b - a)
+    def spanEq(a1: Int, b1: Int, a2: Int): Boolean = {
+      // lengths already matched by caller
+      var i = a1
+      var j = a2
+      while (i < b1) {
+        if (buf(i) != buf(j)) return false
+        i += 1; j += 1
+      }
+      true
+    }
+    /** code-point lexicographic compare of two spans — equals UTF-8 byte
+      * order (UTF-8 byte order is code-point order). UTF-16 char order
+      * diverges only where surrogates meet [E000, FFFF]; compare code
+      * points to stay exactly on the SQL twin's binary collation.
+      */
+    def spanCpLess(a1: Int, b1: Int, a2: Int, b2: Int): Boolean = {
+      var i = a1
+      var j = a2
+      while (i < b1 && j < b2) {
+        val c1 = Character.codePointAt(buf, i, b1)
+        val c2 = Character.codePointAt(buf, j, b2)
+        if (c1 != c2) return c1 < c2
+        i += Character.charCount(c1)
+        j += Character.charCount(c2)
+      }
+      (b1 - a1) < (b2 - a2)
+    }
+  }
+
+  /** Open-addressing span-count table (power-of-two capacity, linear
+    * probing, exact span equality on hash match — collisions can never
+    * merge distinct grams).
+    */
+  private final class SpanCounts(wb: WordBuf, windows: Int) {
+    private val cap = java.lang.Integer.highestOneBit(math.max(4, windows * 2) - 1) << 1
+    private val mask = cap - 1
+    val hashes = new Array[Long](cap)
+    val firstIdx = new Array[Int](cap) // first window index with this gram
+    val counts = new Array[Int](cap)  // 0 = empty slot
+    /** add window i (span [a,b)), return its slot */
+    def add(i: Int, a: Int, b: Int): Int = {
+      val h = wb.spanHash(a, b)
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      while (counts(slot) != 0) {
+        if (hashes(slot) == h) {
+          val fa = firstIdx(slot)
+          val fStart = wb.gramStart(fa)
+          if (b - a == wb.gramEnd(fa, gramN) - fStart &&
+            wb.spanEq(a, b, fStart)) {
+            counts(slot) += 1
+            return slot
+          }
+        }
+        slot = (slot + 1) & mask
+      }
+      hashes(slot) = h
+      firstIdx(slot) = i
+      counts(slot) = 1
+      slot
+    }
+    var gramN: Int = 0
+    def capacity: Int = cap
+  }
+
+  /** top + masked-dup for one n over the word buffer, allocation-free:
+    * returns (topChars, dupMaskedChars) with `covered` reused across
+    * calls (caller clears it).
+    */
+  private def gramStats(wb: WordBuf, n: Int, covered: Array[Boolean],
+                        slots: Array[Int]): (Long, Long) = {
+    val windows = wb.nWords - n + 1
+    if (windows <= 0) return (0L, 0L)
+    val t = new SpanCounts(wb, windows)
+    t.gramN = n
+    var i = 0
+    while (i < windows) {
+      slots(i) = t.add(i, wb.gramStart(i), wb.gramEnd(i, n))
       i += 1
     }
-    out
-  }
-
-  /** chars of all occurrences of the most frequent n-gram (count-max,
-    * UTF-8-byte-min tie-break).
-    */
-  private def topGramChars(gs: Array[String], n: Int): Long = {
-    if (gs.isEmpty) return 0L
-    val counts = new java.util.HashMap[String, Int](gs.length * 2)
-    var i = 0
-    while (i < gs.length) { counts.merge(gs(i), 1, (a: Int, b: Int) => a + b); i += 1 }
-    var bestC = 0
-    var best: String = null
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getValue > bestC || (e.getValue == bestC && utf8Less(e.getKey, best))) {
-        bestC = e.getValue; best = e.getKey
-      }
-    }
-    bestC.toLong * (cpLen(best) - (n - 1))
-  }
-
-  /** masked duplicate-n-gram chars: sum of word code-point lengths over
-    * positions covered by any n-gram window occurring ≥ 2 times.
-    */
-  private def dupGramChars(ws: Array[String], gs: Array[String], n: Int): Long = {
-    if (gs.isEmpty) return 0L
-    val counts = new java.util.HashMap[String, Int](gs.length * 2)
-    var i = 0
-    while (i < gs.length) { counts.merge(gs(i), 1, (a: Int, b: Int) => a + b); i += 1 }
-    val covered = new Array[Boolean](ws.length)
+    // top gram: max count, code-point-min (== UTF-8-byte-min) tie-break
+    var bestSlot = -1
     i = 0
-    while (i < gs.length) {
-      if (counts.get(gs(i)) >= 2) {
+    while (i < t.capacity) {
+      if (t.counts(i) > 0) {
+        if (bestSlot < 0 || t.counts(i) > t.counts(bestSlot)) bestSlot = i
+        else if (t.counts(i) == t.counts(bestSlot)) {
+          val ca = t.firstIdx(i); val cb = t.firstIdx(bestSlot)
+          if (wb.spanCpLess(wb.gramStart(ca), wb.gramEnd(ca, n),
+            wb.gramStart(cb), wb.gramEnd(cb, n))) bestSlot = i
+        }
+      }
+      i += 1
+    }
+    val bi = t.firstIdx(bestSlot)
+    val topChars = t.counts(bestSlot).toLong *
+      (wb.cpCount(wb.gramStart(bi), wb.gramEnd(bi, n)) - (n - 1))
+    // masked dup: mark word positions covered by any window with count >= 2
+    var any = false
+    i = 0
+    while (i < windows) {
+      if (t.counts(slots(i)) >= 2) {
+        any = true
         var j = i
         while (j < i + n) { covered(j) = true; j += 1 }
       }
       i += 1
     }
-    var chars = 0L
-    i = 0
-    while (i < ws.length) {
-      if (covered(i)) chars += cpLen(ws(i))
-      i += 1
+    var dupChars = 0L
+    if (any) {
+      i = 0
+      while (i < wb.nWords) {
+        if (covered(i)) {
+          dupChars += wb.cpCount(wb.off(i), wb.off(i + 1) - 1)
+          covered(i) = false // reset for the next n
+        }
+        i += 1
+      }
     }
-    chars
+    (topChars, dupChars)
   }
 
   def compute(s: String): Result = {
     val (dlf, dlcf, _) = segStats(splitLiteral(s, "\n"))
     val (dpf, dpcf, nParas) = segStats(splitLiteral(s, "\n\n"))
-    val ws = words(s)
-    var wChars = 0L
-    var i = 0
-    while (i < ws.length) { wChars += cpLen(ws(i)); i += 1 }
+    val wb = new WordBuf(s)
+    val wChars = wb.totalWordChars
     def frac(chars: Long): Double = if (wChars == 0) 0.0 else chars.toDouble / wChars
-    val g5 = grams(ws, 5)
-    val g10 = grams(ws, 10)
+    val covered = new Array[Boolean](math.max(1, wb.nWords))
+    val slots = new Array[Int](math.max(1, wb.nWords))
+    val (t2, _) = gramStats(wb, 2, covered, slots)
+    val (t3, _) = gramStats(wb, 3, covered, slots)
+    val (t4, _) = gramStats(wb, 4, covered, slots)
+    val (_, d5) = gramStats(wb, 5, covered, slots)
+    val (_, d10) = gramStats(wb, 10, covered, slots)
     Result(nParas, dlf, dpf, dlcf, dpcf,
-      frac(topGramChars(grams(ws, 2), 2)),
-      frac(topGramChars(grams(ws, 3), 3)),
-      frac(topGramChars(grams(ws, 4), 4)),
-      frac(dupGramChars(ws, g5, 5)),
-      frac(dupGramChars(ws, g10, 10)))
+      frac(t2), frac(t3), frac(t4), frac(d5), frac(d10))
   }
 
   /** Kernel → InternalRow, callable as a STATIC from generated code (see
