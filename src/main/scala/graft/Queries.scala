@@ -1474,6 +1474,55 @@ object Queries {
       |  contains(t3, '{') AS has_curly_brace
       |FROM lv ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style cross-document paragraph boilerplate metric (the
+    * distributed operator behind [[graft.rules.Rules.boilerplateParagraphs]]):
+    * per doc, the fraction of paragraph characters belonging to
+    * paragraphs that appear in ≥ 2 DISTINCT documents. The synthetic
+    * docs have no paragraphs, so the query plants two shared ones on
+    * BOTH sides: a 25-way-shared group banner and a universal footer —
+    * n_shared is structural, the fraction varies with each doc's text
+    * length. The query groups by paragraph TEXT (exact at oracle scale);
+    * the pipeline rule is the scale path (8-byte xxhash64 shuffle, see
+    * its scaladoc).
+    */
+  val dqBoilerplate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t4 = concat(col("text"),
+      lit("\n\nshared boilerplate "), (col("doc_id") % 25).cast("string"),
+      lit("\n\nsubscribe to our newsletter"))
+    val paras = docs(s, dir)
+      .select(col("doc_id"), explode(split(t4, "\n\n")).as("p"))
+      .filter(col("p") =!= "")
+    val ndocs = paras.select("p", "doc_id").distinct()
+      .groupBy("p").agg(count(lit(1)).as("ndocs"))
+    paras.join(ndocs, Seq("p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared_paras"),
+        round(sum(when(col("ndocs") >= 2, length(col("p")).cast("long")).otherwise(0L))
+          .cast(DoubleType) / sum(length(col("p")).cast("long")), 6)
+          .as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dqBoilerplateSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    text || chr(10)||chr(10) || 'shared boilerplate ' || (doc_id % 25)::VARCHAR
+      |         || chr(10)||chr(10) || 'subscribe to our newsletter' AS t4
+      |  FROM documents
+      |),
+      |paras AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(t4, chr(10)||chr(10)), x -> x <> '')) AS p FROM base
+      |),
+      |nd AS (SELECT p, count(DISTINCT doc_id) AS ndocs FROM paras GROUP BY p)
+      |SELECT doc_id,
+      |  count(*)::INT AS n_paras,
+      |  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_paras,
+      |  round(sum(CASE WHEN ndocs >= 2 THEN length(p) ELSE 0 END)::DOUBLE / sum(length(p)), 6) AS boilerplate_frac
+      |FROM paras JOIN nd USING (p)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1512,6 +1561,7 @@ object Queries {
     "mm_video_meta" -> mmVideoMeta,
     "dq_repetition" -> dqRepetition,
     "dq_c4_lines" -> dqC4Lines,
+    "dq_boilerplate" -> dqBoilerplate,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1556,6 +1606,7 @@ object Queries {
     "mm_video_meta" -> mmVideoMetaSql,
     "dq_repetition" -> dqRepetitionSql,
     "dq_c4_lines" -> dqC4LinesSql,
+    "dq_boilerplate" -> dqBoilerplateSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,

@@ -83,6 +83,12 @@ object QualityPipeline {
       minSentences: Int = 3,             // C4 page rule
       maxBulletStartFrac: Double = 0.90, // RefinedWeb
       maxEllipsisEndFrac: Double = 0.30, // RefinedWeb
+      // opt-in CCNet-style cross-document paragraph boilerplate rule
+      // (Rules.boilerplateParagraphs). Costs one extra narrow source
+      // scan + an 8-byte-hash shuffle when on; default off.
+      ccnetBoilerplate: Boolean = false,
+      boilerplateMinDocs: Long = 2,
+      maxBoilerplateFrac: Double = 0.50,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -773,8 +779,14 @@ object QualityPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // CCNet boilerplate reads TEXT (the feature frame carries none), so
+    // it scans the source pages — one extra narrow scan, only when on
+    val boilerV: Option[DataFrame] =
+      if (!cfg.ccnetBoilerplate) None
+      else Some(Rules.boilerplateParagraphs(pages, col("url"), col("text"),
+        cfg.boilerplateMinDocs, cfg.maxBoilerplateFrac))
     val v1aF = Future(ph("v1a checkpoint")(
-      simHashVerdicts(feat, cfg).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

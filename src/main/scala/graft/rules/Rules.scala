@@ -350,4 +350,50 @@ object Rules {
     val flagged = df.filter(frac1 >= t1 && frac2 >= t2)
     verdict(flagged, key, "empty", frac1, lit("row_null_fraction"))
   }
+
+  /** CCNet-style CROSS-DOCUMENT paragraph boilerplate rule (Wenzek et al.
+    * 2020 "CCNet" dedups paragraphs across shards; dropping the whole doc
+    * when a fraction of it is shared boilerplate is the conservative
+    * variant that preserves this engine's byte-identical scrub contract —
+    * we never edit text). A document is flagged when ≥ `maxFrac` of its
+    * paragraph characters belong to paragraphs that appear in at least
+    * `minDocs` DISTINCT documents.
+    *
+    * Paragraph contract shared with [[graft.functions.Repetition]] /
+    * the `dq_boilerplate` oracle: literal `\n\n` split, empty segments
+    * dropped, code-point char counts.
+    *
+    * Scale shape (the whole point of this rule being distributed): the
+    * shuffle carries (8-byte xxhash64, key, length) — never paragraph
+    * text. ndocs is computed as distinct-(hash, key) THEN count — the
+    * explicit two-step spreads a mega-hot paragraph ("subscribe to our
+    * newsletter" in 10⁸ docs) across the (hash, key) key space before
+    * the map-side-combinable count; the join-back build side has exactly
+    * ONE row per hash, so the hot hash joins without salting. Hash note:
+    * xxhash64 is engine-internal bucketing (like exactDup's content
+    * hash); the oracle QUERY groups by paragraph text itself — exact at
+    * test scale, same metric.
+    */
+  def boilerplateParagraphs(df: DataFrame, key: Column, text: Column,
+                            minDocs: Long = 2,
+                            maxFrac: Double = 0.5): DataFrame = {
+    val paras = df
+      .select(key.as("__k"),
+        explode(split(coalesce(text, lit("")), "\n\n")).as("__p"))
+      .filter(col("__p") =!= "")
+      .select(col("__k"), xxhash64(col("__p")).as("__h"),
+        length(col("__p")).cast("long").as("__len"))
+    val ndocs = paras.select(col("__h"), col("__k")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
+    val perDoc = paras.join(ndocs, Seq("__h"))
+      .groupBy("__k")
+      .agg(
+        sum(col("__len")).as("__tot"),
+        sum(when(col("__ndocs") >= minDocs, col("__len")).otherwise(0L)).as("__shared"),
+        sum(when(col("__ndocs") >= minDocs, 1L).otherwise(0L)).as("__nshared"))
+      .withColumn("__frac", col("__shared").cast(DoubleType) / col("__tot"))
+    verdict(perDoc.filter(col("__frac") >= maxFrac), col("__k"),
+      "ccnet_boilerplate", col("__frac"),
+      concat_ws("/", col("__nshared"), lit("shared_paras")))
+  }
 }

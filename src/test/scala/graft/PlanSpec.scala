@@ -115,4 +115,28 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd spans print as "*(n) Project ..." in the physical plan
     assert(physical(f).contains("*(1)"), physical(f).take(500))
   }
+
+  test("boilerplateParagraphs: no shuffle carries paragraph text (8-byte hash only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val pages = graft.sources.PagesGen.generate(spark, 200, 2).toDF()
+    val v = graft.rules.Rules.boilerplateParagraphs(
+      pages, col("url"), col("text"))
+    // Walk the physical tree: every Exchange must ship only (__h, __k,
+    // __len)-shaped rows — the exploded paragraph STRING `__p` must be
+    // projected away before any shuffle boundary. At 10^8 docs a shuffle
+    // carrying paragraph bodies is the difference between an 8-byte-key
+    // shuffle and re-shipping the corpus.
+    val root = v.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least one shuffle in the rule")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("__p"),
+        s"shuffle carries paragraph text: ${names.mkString(",")}")
+    }
+  }
 }

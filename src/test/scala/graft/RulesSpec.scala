@@ -110,4 +110,59 @@ class RulesSpec extends AnyFunSuite {
       Seq("c1", "c2", "c3", "c4"), 0.7, 0.5).collect()
     assert(v.map(_.getAs[String]("url")).toSeq == Seq("sparse"))
   }
+
+  test("boilerplateParagraphs: cross-doc shared paragraphs flag by char fraction") {
+    val footer = "subscribe to our newsletter"
+    val df = Seq(
+      // mostly boilerplate: short unique para + the shared footer
+      ("u1", s"tiny\n\n$footer"),
+      // mostly original: long unique para + the same shared footer
+      ("u2", s"a much longer unique paragraph with plenty of original characters in it\n\n$footer"),
+      // no shared paragraphs at all
+      ("u3", "completely original text\n\nanother original paragraph"),
+      // within-doc repetition is NOT cross-doc boilerplate (1 distinct doc)
+      ("u4", "self repeated para\n\nself repeated para"),
+      // null text never flags
+      ("u5", null.asInstanceOf[String])
+    ).toDF("url", "text")
+    val v = Rules.boilerplateParagraphs(df, col("url"), col("text"),
+      minDocs = 2, maxFrac = 0.5)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Double]("score")).toMap
+    assert(v.keySet == Set("u1"), s"got $v") // 27/31 > 0.5; u2's footer frac < 0.5
+    assert(math.abs(v("u1") - footer.length.toDouble / (4 + footer.length)) < 1e-12)
+    // deterministic under repartitioning (hash-grouped distributed path)
+    val v3 = Rules.boilerplateParagraphs(df.repartition(3), col("url"), col("text"))
+      .collect().map(_.getAs[String]("url")).toSet
+    val v7 = Rules.boilerplateParagraphs(df.repartition(7), col("url"), col("text"))
+      .collect().map(_.getAs[String]("url")).toSet
+    assert(v3 == v7 && v3 == Set("u1"))
+  }
+
+  test("ccnetBoilerplate pipeline toggle: off = no rule, on = boilerplate doc drops") {
+    import graft.pipeline.QualityPipeline
+    val footer = "follow us on social media for updates and exclusive offers"
+    // sentence-free word soup bodies so only the boilerplate rule differs
+    def body(i: Int) = (1 to 40).map(j => s"word${i}x$j").mkString(" ")
+    val rows = (1 to 6).map { i =>
+      val text = if (i == 1) s"small unique bit\n\n$footer\n\n$footer"
+      else s"${body(i)}\n\n$footer"
+      (s"http://t/p/$i", text, "en")
+    }.toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit("2025-01-01T00:00:00Z"))
+      .withColumn("html", col("text"))
+    val cfg = QualityPipeline.defaultConfig.copy(ccnetBoilerplate = true)
+    val on = QualityPipeline.run(rows, cfg)
+    val flagged = on.verdicts.filter(col("rule") === "ccnet_boilerplate")
+      .select("url").collect().map(_.getString(0)).toSet
+    val kept1 = on.kept.filter(col("url") === "http://t/p/1").count()
+    on.unpersist()
+    assert(flagged.contains("http://t/p/1"), s"got $flagged")
+    assert(!flagged.contains("http://t/p/3"))
+    assert(kept1 == 0L)
+    val off = QualityPipeline.run(rows)
+    val offRules = off.verdicts.select("rule").distinct()
+      .collect().map(_.getString(0)).toSet
+    off.unpersist()
+    assert(!offRules.contains("ccnet_boilerplate"))
+  }
 }
