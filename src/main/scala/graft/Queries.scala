@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import graft.functions.{Hashing, LangId, Scrub, TextFns}
+import graft.functions.{Decontam, Hashing, LangId, Scrub, TextFns}
 import graft.embed.Ann
 
 /** The driver-checked query surface: every operator family from SURVEY §2
@@ -48,6 +48,12 @@ object Queries {
     }
     def charShingles(c: String, k: Int): String =
       s"(CASE WHEN length($c) >= $k THEN list_transform(generate_series(1, length($c) - ${k - 1}), i -> substr($c, CAST(i AS INT), $k)) ELSE [] END)"
+    /** word n-grams of lowercased text (Decontam.wordNgrams twin):
+      * n consecutive whitespace tokens joined by single spaces */
+    def wordGrams(c: String, n: Int): String = {
+      val t = toks(s"lower($c)")
+      s"(CASE WHEN len($t) >= $n THEN list_transform(generate_series(1, len($t) - ${n - 1}), i -> array_to_string(($t)[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')) ELSE [] END)"
+    }
   }
 
   // ======================================================================
@@ -1523,6 +1529,61 @@ object Queries {
       |FROM paras JOIN nd USING (p)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Eval passages for the decontamination oracle: P1/P2 are PLANTED
+    * into deterministic doc subsets (13 and 12 words ⇒ 6 and 5 matching
+    * 8-grams per plant), P3 exists only in the eval set — its grams must
+    * collide with nothing.
+    */
+  private val DecontamP1 =
+    "the quick brown fox jumps over the lazy dog near the riverbank today"
+  private val DecontamP2 =
+    "colorless green ideas sleep furiously while formal grammars generate infinite novel sentences"
+  private val DecontamP3 =
+    "seven unseen evaluation phrases anchor this benchmark suite without any training collision"
+
+  /** Benchmark decontamination ([[graft.functions.Decontam]], GPT-3
+    * appx C shape): per-doc word 8-gram collisions against a 3-passage
+    * eval set. The synthetic corpus shares no 8-grams with the passages,
+    * so the query plants P1 on doc_id % 13 and P2 on doc_id % 29 on BOTH
+    * sides — n_contaminated is structural (6 / 5 / 11), contam_frac
+    * varies with each doc's own gram count. Engine path: broadcast
+    * eval-gram probe, one ~row-per-doc shuffle (see Decontam scaladoc).
+    */
+  val dqDecontam: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val aug = concat(col("text"),
+      when(col("doc_id") % 13 === 0, lit(" " + DecontamP1)).otherwise(lit("")),
+      when(col("doc_id") % 29 === 0, lit(" " + DecontamP2)).otherwise(lit("")))
+    val ev = Decontam.evalGrams(
+      Seq(DecontamP1, DecontamP2, DecontamP3).toDF("p"), col("p"), 8)
+    Decontam.contamination(docs(s, dir), col("doc_id"), aug, ev, 8)
+      .withColumnRenamed("__k", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dqDecontamSql: String = {
+    val evGrams = Seq(DecontamP1, DecontamP2, DecontamP3)
+      .map(p => s"SELECT unnest(${Frag.wordGrams(s"'$p'", 8)}) AS gram")
+      .mkString(" UNION ALL ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' $DecontamP1' ELSE '' END
+       |    || CASE WHEN doc_id % 29 = 0 THEN ' $DecontamP2' ELSE '' END AS t
+       |  FROM documents),
+       |g AS (SELECT doc_id, ${Frag.wordGrams("t", 8)} AS gs FROM aug),
+       |ev AS (SELECT DISTINCT gram FROM ($evGrams)),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_cont
+       |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g) e
+       |  JOIN ev USING (gram) GROUP BY doc_id)
+       |SELECT g.doc_id,
+       |  len(g.gs)::BIGINT AS n_grams,
+       |  coalesce(h.n_cont, 0)::BIGINT AS n_contaminated,
+       |  round(coalesce(h.n_cont, 0)::DOUBLE / nullif(len(g.gs), 0), 6) AS contam_frac
+       |FROM g LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1562,6 +1623,7 @@ object Queries {
     "dq_repetition" -> dqRepetition,
     "dq_c4_lines" -> dqC4Lines,
     "dq_boilerplate" -> dqBoilerplate,
+    "dq_decontam" -> dqDecontam,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1607,6 +1669,7 @@ object Queries {
     "dq_repetition" -> dqRepetitionSql,
     "dq_c4_lines" -> dqC4LinesSql,
     "dq_boilerplate" -> dqBoilerplateSql,
+    "dq_decontam" -> dqDecontamSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,

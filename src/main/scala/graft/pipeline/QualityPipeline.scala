@@ -89,6 +89,14 @@ object QualityPipeline {
       ccnetBoilerplate: Boolean = false,
       boilerplateMinDocs: Long = 2,
       maxBoilerplateFrac: Double = 0.50,
+      // opt-in benchmark decontamination (Rules.contaminationRule):
+      // drop docs sharing >= decontamMinHits word decontamN-grams with
+      // these eval passages. Seq[String] keeps Config serializable; a
+      // production eval CORPUS goes through Rules.contaminationRule
+      // with any DataFrame directly. Default empty = rule off.
+      decontamPassages: Seq[String] = Nil,
+      decontamN: Int = 8,
+      decontamMinHits: Long = 1,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -785,8 +793,20 @@ object QualityPipeline {
       if (!cfg.ccnetBoilerplate) None
       else Some(Rules.boilerplateParagraphs(pages, col("url"), col("text"),
         cfg.boilerplateMinDocs, cfg.maxBoilerplateFrac))
+    // decontamination likewise reads TEXT from the source pages; the
+    // eval side is a tiny broadcast built from the configured passages
+    val decontamV: Option[DataFrame] =
+      if (cfg.decontamPassages.isEmpty) None
+      else {
+        val s = pages.sparkSession
+        import s.implicits._
+        val ev = graft.functions.Decontam.evalGrams(
+          cfg.decontamPassages.toDF("p"), col("p"), cfg.decontamN)
+        Some(Rules.contaminationRule(pages, col("url"), col("text"),
+          ev, cfg.decontamN, cfg.decontamMinHits))
+      }
     val v1aF = Future(ph("v1a checkpoint")(
-      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

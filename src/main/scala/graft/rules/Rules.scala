@@ -396,4 +396,22 @@ object Rules {
       "ccnet_boilerplate", col("__frac"),
       concat_ws("/", col("__nshared"), lit("shared_paras")))
   }
+
+  /** Benchmark-decontamination rule (GPT-3 appx C shape, via
+    * [[graft.functions.Decontam]]): flag any document with ≥ `minHits`
+    * word n-gram collisions against the eval corpus. The default
+    * `minHits = 1` is the published semantics — one 8-13-gram collision
+    * with a test set is a leak, whatever the document's length; raise it
+    * (or gate on `score`, the collision fraction) for noisier eval sets.
+    * Eval side broadcasts (eval suites are tiny next to the corpus);
+    * the one shuffle carries a row per document, never gram text.
+    */
+  def contaminationRule(df: DataFrame, key: Column, text: Column,
+                        eval: DataFrame, n: Int = 8,
+                        minHits: Long = 1): DataFrame = {
+    val c = graft.functions.Decontam.contamination(df, key, text, eval, n)
+    verdict(c.filter(col("n_contaminated") >= minHits), col("__k"),
+      "decontam", coalesce(col("contam_frac"), lit(0.0)),
+      concat_ws("/", col("n_contaminated"), lit("eval_gram_hits")))
+  }
 }

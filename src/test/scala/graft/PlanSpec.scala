@@ -116,6 +116,28 @@ class PlanSpec extends AnyFunSuite {
     assert(physical(f).contains("*(1)"), physical(f).take(500))
   }
 
+  test("dq_decontam: broadcast eval probe; no shuffle carries gram text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Queries.dqDecontam(spark, dir)
+    val plan = physical(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval probe not broadcast: ${plan.take(800)}")
+    val root = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // Allowed shuffles: the EVAL side's distinct (gram only — the tiny
+    // eval set), the per-doc agg, and the final orderBy. Forbidden: a
+    // shuffle of the exploded CORPUS grams, which carries the doc key
+    // alongside the gram — that would re-ship the corpus text volume.
+    root.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!(names.contains("gram") && names.contains("__k")),
+        s"shuffle carries exploded corpus grams: ${names.mkString(",")}")
+    }
+  }
+
   test("boilerplateParagraphs: no shuffle carries paragraph text (8-byte hash only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
