@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import graft.functions.{Decontam, Hashing, LangId, Scrub, TextFns}
+import graft.functions.{Decontam, Hashing, LangId, Scrub, TextFns, UrlFns}
 import graft.embed.Ann
 
 /** The driver-checked query surface: every operator family from SURVEY §2
@@ -1584,6 +1584,88 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic URL synthesis shared by the `dq_url_rules` /
+    * `dq_host_cap` oracles (the documents table carries no url; the
+    * north-rule pages table does): 37 hosts, an adult-keyword path on
+    * doc_id % 41, an over-long path on doc_id % 53 — all structural on
+    * BOTH engines.
+    */
+  private def synthUrl: Column = concat(
+    lit("https://host"), (col("doc_id") % 37).cast("string"),
+    lit(".example.com/p/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 41 === 0, lit("/casino-bonus")).otherwise(lit("")),
+    when(col("doc_id") % 53 === 0, concat(lit("/"), repeat(lit("x"), 2100)))
+      .otherwise(lit("")))
+
+  // single line: embedding a multi-line fragment into an outer
+  // .stripMargin SQL string would eat the first `|` of a leading `||`
+  private val synthUrlSql: String =
+    "'https://host' || (doc_id % 37)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR" +
+      " || CASE WHEN doc_id % 41 = 0 THEN '/casino-bonus' ELSE '' END" +
+      " || CASE WHEN doc_id % 53 = 0 THEN '/' || repeat('x', 2100) ELSE '' END"
+
+  private val UrlHostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+  /** URL battery features ([[graft.functions.UrlFns]], RefinedWeb §3.1
+    * shape): host, length, digit fraction, blocklist membership, adult
+    * keyword, over-long flag — all narrow expressions, zero shuffle
+    * (the rule path [[graft.rules.Rules.urlBattery]] emits verdicts from
+    * the same predicates).
+    */
+  val dqUrlRules: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+      .select(col("doc_id"),
+        UrlFns.host(col("url")).as("host"),
+        length(col("url")).cast(LongType).as("url_len"),
+        round(UrlFns.digitFrac(col("url")), 6).as("digit_frac"),
+        UrlFns.host(col("url"))
+          .isin("host3.example.com", "host17.example.com").as("blocked_host"),
+        UrlFns.containsAny(col("url"), Seq("casino")).as("adult_kw"),
+        (length(col("url")) > 2048).as("too_long"))
+      .orderBy("doc_id")
+
+  val dqUrlRulesSql: String =
+    s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+       |w AS (SELECT doc_id, url, regexp_extract(url, '$UrlHostRe', 1) AS host FROM u)
+       |SELECT doc_id, host,
+       |  length(url)::BIGINT AS url_len,
+       |  round((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))::DOUBLE / length(url), 6) AS digit_frac,
+       |  (host IN ('host3.example.com', 'host17.example.com')) AS blocked_host,
+       |  contains(lower(url), 'casino') AS adult_kw,
+       |  (length(url) > 2048) AS too_long
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** Per-host document cap ([[graft.rules.Rules.hostCap]], custom
+    * bounded-K-heap aggregate `kth_smallest`): flag every doc of an
+    * over-cap host whose portable md5-60-bit url hash lies above the
+    * host's K-th-smallest. The DuckDB twin states the SAME threshold
+    * semantics via row_number ≤ K → max(h) per host. 37 hosts × ~13
+    * docs at sf0.01 against cap 10 ⇒ every host flags 3-4 docs.
+    */
+  val dqHostCap: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.rules.Rules.hostCap(
+        docs(s, dir).select(col("doc_id"), synthUrl.as("u")),
+        col("doc_id"), col("u"), cap = 10)
+      .select(col("url").as("doc_id"),
+        col("score").cast(LongType).as("host_docs"),
+        col("detail").as("host"))
+      .orderBy("doc_id")
+
+  val dqHostCapSql: String =
+    s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+       |w AS (SELECT doc_id,
+       |  regexp_extract(url, '$UrlHostRe', 1) AS host,
+       |  ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+       |  FROM u),
+       |cnt AS (SELECT host, count(*) AS n FROM w GROUP BY host),
+       |thr AS (SELECT host, max(h) AS thr FROM (
+       |    SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM w) t
+       |  WHERE rn <= 10 GROUP BY host)
+       |SELECT w.doc_id, c.n::BIGINT AS host_docs, w.host
+       |FROM w JOIN cnt c USING (host) JOIN thr USING (host)
+       |WHERE c.n > 10 AND w.h > thr.thr
+       |ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1624,6 +1706,8 @@ object Queries {
     "dq_c4_lines" -> dqC4Lines,
     "dq_boilerplate" -> dqBoilerplate,
     "dq_decontam" -> dqDecontam,
+    "dq_url_rules" -> dqUrlRules,
+    "dq_host_cap" -> dqHostCap,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1670,6 +1754,8 @@ object Queries {
     "dq_c4_lines" -> dqC4LinesSql,
     "dq_boilerplate" -> dqBoilerplateSql,
     "dq_decontam" -> dqDecontamSql,
+    "dq_url_rules" -> dqUrlRulesSql,
+    "dq_host_cap" -> dqHostCapSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,

@@ -97,6 +97,14 @@ object QualityPipeline {
       decontamPassages: Seq[String] = Nil,
       decontamN: Int = 8,
       decontamMinHits: Long = 1,
+      // opt-in URL battery (Rules.urlBattery — narrow, zero-shuffle)
+      // and per-host document cap (Rules.hostCap — one bounded-heap
+      // groupBy on host + broadcast join-back). Off by default.
+      urlRules: Boolean = false,
+      urlBlockedHosts: Seq[String] = Nil,
+      urlAdultKeywords: Seq[String] = Nil,
+      maxUrlLen: Int = 2048,
+      hostDocCap: Int = 0, // 0 = off
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -805,8 +813,16 @@ object QualityPipeline {
         Some(Rules.contaminationRule(pages, col("url"), col("text"),
           ev, cfg.decontamN, cfg.decontamMinHits))
       }
+    // URL rules read only the key column; host cap adds one bounded-heap
+    // groupBy on host — both off by default
+    val urlV: Seq[DataFrame] =
+      (if (!cfg.urlRules) Nil
+       else Seq(Rules.urlBattery(pages, col("url"), col("url"),
+         cfg.urlBlockedHosts, cfg.urlAdultKeywords, cfg.maxUrlLen))) ++
+      (if (cfg.hostDocCap <= 0) Nil
+       else Seq(Rules.hostCap(pages, col("url"), col("url"), cfg.hostDocCap)))
     val v1aF = Future(ph("v1a checkpoint")(
-      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ urlV).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

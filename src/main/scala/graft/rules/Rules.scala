@@ -414,4 +414,69 @@ object Rules {
       "decontam", coalesce(col("contam_frac"), lit(0.0)),
       concat_ws("/", col("n_contaminated"), lit("eval_gram_hits")))
   }
+
+  /** URL battery (RefinedWeb §3.1 shape, via [[graft.functions.UrlFns]]):
+    * blocked-host membership, adult/spam keyword in the URL, and
+    * over-long URLs — all pure narrow expressions riding whatever scan
+    * already reads the key column; zero shuffle. `blockedHosts` /
+    * `adultKeywords` are inlined literals here (curated lists are
+    * 10³-10⁵ entries — expression-literal scale); a blocklist that has
+    * outgrown a literal joins as a broadcast frame on
+    * [[graft.functions.UrlFns.host]] instead.
+    */
+  def urlBattery(df: DataFrame, key: Column, url: Column,
+                 blockedHosts: Seq[String] = Nil,
+                 adultKeywords: Seq[String] = Nil,
+                 maxUrlLen: Int = 2048): DataFrame = {
+    import graft.functions.UrlFns
+    val base = df.select(key.as("__k"), url.as("__u"),
+      UrlFns.host(url).as("__host"))
+    val blocked =
+      if (blockedHosts.isEmpty) None
+      else Some(verdict(
+        base.filter(col("__host").isin(blockedHosts: _*)),
+        col("__k"), "url_blocked_host", lit(1.0), col("__host")))
+    val adult =
+      if (adultKeywords.isEmpty) None
+      else Some(verdict(
+        base.filter(UrlFns.containsAny(col("__u"), adultKeywords)),
+        col("__k"), "url_adult_keyword", lit(1.0), col("__host")))
+    val long = verdict(
+      base.filter(length(col("__u")) > maxUrlLen),
+      col("__k"), "url_too_long", length(col("__u")).cast(DoubleType),
+      col("__host"))
+    (blocked.toSeq ++ adult.toSeq).foldLeft(long)(_ unionByName _)
+  }
+
+  /** Per-host document cap (host-level dedup pressure: a single template
+    * site must not dominate the corpus). Keeps for each host the `cap`
+    * documents with the smallest portable 60-bit url hash
+    * ([[graft.functions.TextFns.md5Long]] — a deterministic uniform
+    * draw per host, oracle-expressible) and flags the rest.
+    *
+    * Scale shape: ONE groupBy on host whose aggregate state is a
+    * bounded K-heap ([[graft.functions.UrlFns.kthSmallest]] — map-side
+    * partial heaps, ≤ K longs per host per partition, never the group's
+    * rows), filtered to over-cap hosts, joined back on host. The build
+    * side is one (host, threshold) row per OVER-CAP host — small by
+    * construction — so the join-back broadcasts; a mega-host's rows
+    * stay distributed on the probe side and never co-locate.
+    */
+  def hostCap(df: DataFrame, key: Column, url: Column,
+              cap: Int): DataFrame = {
+    import graft.functions.{TextFns, UrlFns}
+    val base = df.select(key.as("__k"),
+      UrlFns.host(url).as("__host"),
+      TextFns.md5Long(url).as("__h"))
+      .filter(col("__host").isNotNull)
+    val thr = base.groupBy("__host")
+      .agg(UrlFns.kthSmallest(col("__h"), cap).as("__thr"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("__host"), col("__thr"), col("__n"))
+    val flagged = base.join(broadcast(thr), Seq("__host"))
+      .filter(col("__h") > col("__thr"))
+    verdict(flagged, col("__k"), "host_over_cap",
+      col("__n").cast(DoubleType), col("__host"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{LongMinKHeap, UrlFns}
+import graft.rules.Rules
+
+class UrlFnsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LongMinKHeap keeps the k smallest; top is the k-th smallest") {
+    val r = new scala.util.Random(7)
+    for (k <- Seq(1, 3, 10); n <- Seq(0, 1, 5, 10, 1000)) {
+      val vals = Array.fill(n)(r.nextLong())
+      val h = new LongMinKHeap(k)
+      vals.foreach(h.offer)
+      val expect = vals.sorted.take(k)
+      assert(h.size == math.min(k, n))
+      if (n > 0) assert(h.top == expect.last, s"k=$k n=$n")
+    }
+  }
+
+  test("host / digitFrac / containsAny semantics") {
+    val df = Seq(
+      ("https://www.example.com/a/b?q=1", 1),
+      ("ftp://files.example.org:2121/x", 2),
+      ("no-scheme.example.com/path", 3),
+      ("https://casino123.example.net/win", 4)
+    ).toDF("url", "id")
+    val out = df.select(col("id"), UrlFns.host(col("url")).as("h"),
+        round(UrlFns.digitFrac(col("url")), 4).as("d"),
+        UrlFns.containsAny(col("url"), Seq("casino", "poker")).as("a"))
+      .collect().map(r => r.getInt(0) ->
+        ((Option(r.getString(1)), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1)._1.contains("www.example.com"))
+    assert(out(2)._1.contains("files.example.org")) // port excluded
+    assert(out(3)._1.isEmpty)                       // relative url -> null host
+    assert(out(4)._1.contains("casino123.example.net") && out(4)._3)
+    assert(out(1)._2 == 0.0323) // one digit / 31 chars
+  }
+
+  test("kthSmallest aggregate == sorted take(k).last, stable across partitioning") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (s"g${i % 7}", r.nextLong()))
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.take(13).last
+    }
+    for (parts <- Seq(1, 3, 17)) {
+      val got = rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(UrlFns.kthSmallest(col("v"), 13).as("t"))
+        .collect().map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+    // group smaller than k: threshold = group max (nothing capped)
+    val small = Seq(("a", 5L), ("a", 1L)).toDF("g", "v")
+      .groupBy("g").agg(UrlFns.kthSmallest(col("v"), 10).as("t")).collect()
+    assert(small.head.getLong(1) == 5L)
+  }
+
+  test("hostCap flags exactly the docs above the per-host k-th hash; under-cap hosts exempt") {
+    // host A: 6 docs (cap 3 -> 3 flagged); host B: 2 docs (under cap)
+    val df = (1 to 6).map(i => (s"a$i", s"https://a.example.com/p/$i")) ++
+      Seq(("b1", "https://b.example.com/p/1"), ("b2", "https://b.example.com/p/2"))
+    val d = df.toDF("k", "u")
+    val v = Rules.hostCap(d, col("k"), col("u"), cap = 3)
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[String]("detail")))
+    assert(v.length == 3 && v.forall(_._2 == "a.example.com"))
+    // brute-force twin: the 3 largest md5-60bit hashes of host a
+    val hs = d.filter(col("u").startsWith("https://a."))
+      .select(col("k"), graft.functions.TextFns.md5Long(col("u")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expectFlag = hs.sortBy(_._2).drop(3).map(_._1).toSet
+    assert(v.map(_._1).toSet == expectFlag)
+    // deterministic across partitioning
+    val v7 = Rules.hostCap(d.repartition(7), col("k"), col("u"), cap = 3)
+      .collect().map(_.getAs[String]("url")).toSet
+    assert(v7 == expectFlag)
+  }
+
+  test("urlRules + hostDocCap pipeline toggles: off = absent, on = url verdicts drop") {
+    import graft.pipeline.QualityPipeline
+    def body(i: Int) = (1 to 40).map(j => s"word${i}x$j").mkString(" ")
+    val rows = ((1 to 5).map(i => (s"https://spam.example.com/p/$i", body(i), "en")) ++
+      Seq(("https://ok.example.com/casino-night", body(9), "en"),
+        ("https://ok.example.com/fine", body(10), "en")))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit("2025-01-01T00:00:00Z"))
+      .withColumn("html", col("text"))
+    val cfg = QualityPipeline.defaultConfig.copy(
+      urlRules = true,
+      urlBlockedHosts = Seq("spam.example.com"),
+      urlAdultKeywords = Seq("casino"),
+      hostDocCap = 3)
+    val on = QualityPipeline.run(rows, cfg)
+    val byRule = on.verdicts.filter(col("rule").startsWith("url_") || col("rule") === "host_over_cap")
+      .select("rule", "url").collect()
+      .groupBy(_.getString(0)).map { case (r, rows) => r -> rows.map(_.getString(1)).toSet }
+    on.unpersist()
+    assert(byRule("url_blocked_host").size == 5)
+    assert(byRule("url_adult_keyword") == Set("https://ok.example.com/casino-night"))
+    assert(byRule("host_over_cap").size == 2 &&
+      byRule("host_over_cap").forall(_.startsWith("https://spam.")))
+    assert(!byRule.contains("url_too_long"))
+    val off = QualityPipeline.run(rows)
+    val offRules = off.verdicts.select("rule").distinct()
+      .collect().map(_.getString(0)).toSet
+    off.unpersist()
+    assert(!offRules.exists(r => r.startsWith("url_") || r == "host_over_cap"))
+  }
+}
