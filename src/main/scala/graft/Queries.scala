@@ -1666,6 +1666,71 @@ object Queries {
        |WHERE c.n > 10 AND w.h > thr.thr
        |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style per-language quality buckets
+    * ([[graft.curation.Select.ntileBuckets]], Wenzek et al. 2020 §4.4:
+    * head/middle/tail by LM score within each language). The oracle
+    * score is a deterministic fluency proxy both engines compute
+    * identically (mean word length = n_chars / n_words); the pipeline
+    * path feeds CharLm perplexity into the same operator. Rank-based
+    * ntile ⇒ exact cross-engine parity (no quantile-interpolation
+    * dialect trap).
+    */
+  val dqQualityBuckets: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      round(col("n_chars").cast(DoubleType) /
+        nullif(TextFns.wordCount(col("text")), lit(0)), 6).as("score"))
+    graft.curation.Select
+      .ntileBuckets(base, col("doc_id"), col("lang"), col("score"), 3)
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val dqQualityBucketsSql: String =
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  round(n_chars::DOUBLE / nullif(${Frag.nWords("text")}, 0), 6) AS score
+       |  FROM documents)
+       |SELECT doc_id, lang, score,
+       |  ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Per-language token-budget corpus draw
+    * ([[graft.curation.Select.tokenBudget]]): order each language by
+    * (quality bucket, portable 60-bit doc hash) and keep docs until the
+    * running token total crosses 2,000 — the data-mixing step of a
+    * training-corpus build. The scalable histogram-cutoff twin
+    * ([[graft.curation.Select.tokenBudgetScalable]]) is spec-pinned
+    * equal to this exact path.
+    */
+  val dqTokenBudget: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextFns.wordCount(col("text")).cast(LongType).as("n_tokens"),
+      round(col("n_chars").cast(DoubleType) /
+        nullif(TextFns.wordCount(col("text")), lit(0)), 6).as("score"),
+      TextFns.md5Long(col("doc_id").cast("string")).as("h"))
+    val b = graft.curation.Select
+      .ntileBuckets(base, col("doc_id"), col("lang"), col("score"), 3)
+    graft.curation.Select.tokenBudget(b, col("doc_id"), col("lang"),
+        col("bucket"), col("h"), col("n_tokens"), budget = 2000L)
+      .select(col("key").as("doc_id"), col("lang"), col("bucket"),
+        col("tokens"))
+      .orderBy("doc_id")
+  }
+
+  val dqTokenBudgetSql: String =
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  ${Frag.nWords("text")}::BIGINT AS n_tokens,
+       |  round(n_chars::DOUBLE / nullif(${Frag.nWords("text")}, 0), 6) AS score,
+       |  ${Frag.md5Long("doc_id::VARCHAR")} AS h
+       |  FROM documents),
+       |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket FROM s),
+       |c AS (SELECT doc_id, lang, bucket, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY bucket, h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM b)
+       |SELECT doc_id, lang, bucket, n_tokens AS tokens
+       |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1708,6 +1773,8 @@ object Queries {
     "dq_decontam" -> dqDecontam,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
+    "dq_quality_buckets" -> dqQualityBuckets,
+    "dq_token_budget" -> dqTokenBudget,
     "mm_frame_sample" -> mmFrameSample,
     "ev_window_agg" -> evWindowAgg,
     "ev_lag_gaps" -> evLagGaps,
@@ -1756,6 +1823,8 @@ object Queries {
     "dq_decontam" -> dqDecontamSql,
     "dq_url_rules" -> dqUrlRulesSql,
     "dq_host_cap" -> dqHostCapSql,
+    "dq_quality_buckets" -> dqQualityBucketsSql,
+    "dq_token_budget" -> dqTokenBudgetSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_lag_gaps" -> evLagGapsSql,
     "ev_sessionize" -> evSessionizeSql,
