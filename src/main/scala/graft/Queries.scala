@@ -1584,6 +1584,62 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared spans for the exact-substring-dup oracle: S1 (20 words ⇒ 13
+    * overlapping 8-token windows per plant) lands on doc_id % 17, S2 (12
+    * words ⇒ 5 windows) on doc_id % 23 — cross-document duplicated spans
+    * by construction, since ≥ 2 docs carry each.
+    */
+  private val SubstrSpan1 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val SubstrSpan2 =
+    "one small step for data pipelines everywhere tonight brings exactly twelve words"
+
+  /** Cross-document exact-substring duplication
+    * ([[graft.functions.ExactSubstr.substrDupStats]], Lee et al. 2021
+    * ExactSubstr re-expressed distributed): per-doc fraction of tokens
+    * covered by 8-token windows whose gram occurs in ≥ 2 distinct docs
+    * (L = 8 here so fixture-sized plants produce multi-window spans; the
+    * production default is the paper's 50). Engine buckets grams by
+    * xxhash64, the oracle groups by gram text — identical absent a
+    * 64-bit collision (the boilerplate/exactDup hash note). Interval
+    * union on both sides: sorted window starts, each adds
+    * min(L, pos − prev). */
+  val dqSubstrDup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 17 === 0, lit(" " + SubstrSpan1)).otherwise(lit("")),
+      when(col("doc_id") % 23 === 0, lit(" " + SubstrSpan2)).otherwise(lit("")))
+    graft.functions.ExactSubstr.substrDupStats(
+        docs(s, dir), col("doc_id"), aug, l = 8)
+      .withColumnRenamed("__k", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dqSubstrDupSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' $SubstrSpan1' ELSE '' END
+       |    || CASE WHEN doc_id % 23 = 0 THEN ' $SubstrSpan2' ELSE '' END AS t
+       |  FROM documents),
+       |g AS (SELECT doc_id, ${Frag.wordGrams("t", 8)} AS gs,
+       |      ${Frag.nWords("t")}::BIGINT AS n_tokens FROM aug),
+       |p AS (SELECT doc_id, unnest(generate_series(1, len(gs))) AS pos,
+       |      unnest(gs) AS gram FROM g),
+       |nd AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM p)
+       |       GROUP BY gram HAVING count(*) >= 2),
+       |sh AS (SELECT doc_id, pos FROM p JOIN nd USING (gram)),
+       |cw AS (SELECT doc_id, coalesce(least(8::BIGINT,
+       |         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)),
+       |         8::BIGINT) AS c
+       |       FROM sh),
+       |cov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+       |        sum(c)::BIGINT AS dup_tokens FROM cw GROUP BY doc_id)
+       |SELECT g.doc_id, g.n_tokens,
+       |  coalesce(cov.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       |  coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  round(coalesce(cov.dup_tokens, 0)::DOUBLE / nullif(g.n_tokens, 0), 6) AS dup_frac
+       |FROM g LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Deterministic URL synthesis shared by the `dq_url_rules` /
     * `dq_host_cap` oracles (the documents table carries no url; the
     * north-rule pages table does): 37 hosts, an adult-keyword path on
@@ -1771,6 +1827,7 @@ object Queries {
     "dq_c4_lines" -> dqC4Lines,
     "dq_boilerplate" -> dqBoilerplate,
     "dq_decontam" -> dqDecontam,
+    "dq_substr_dup" -> dqSubstrDup,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,
@@ -1821,6 +1878,7 @@ object Queries {
     "dq_c4_lines" -> dqC4LinesSql,
     "dq_boilerplate" -> dqBoilerplateSql,
     "dq_decontam" -> dqDecontamSql,
+    "dq_substr_dup" -> dqSubstrDupSql,
     "dq_url_rules" -> dqUrlRulesSql,
     "dq_host_cap" -> dqHostCapSql,
     "dq_quality_buckets" -> dqQualityBucketsSql,

@@ -105,6 +105,14 @@ object QualityPipeline {
       urlAdultKeywords: Seq[String] = Nil,
       maxUrlLen: Int = 2048,
       hostDocCap: Int = 0, // 0 = off
+      // opt-in cross-document exact-substring duplication rule
+      // (Rules.exactSubstrDup, Lee et al. 2021 shape): drop docs whose
+      // >= exactSubstrTokens-token spans shared with other docs cover
+      // >= maxSubstrDupFrac of their tokens. One extra narrow source
+      // scan + an 8-byte-hash shuffle when on; 0 = off (the paper's
+      // production L is 50).
+      exactSubstrTokens: Int = 0,
+      maxSubstrDupFrac: Double = 0.5,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -813,6 +821,12 @@ object QualityPipeline {
         Some(Rules.contaminationRule(pages, col("url"), col("text"),
           ev, cfg.decontamN, cfg.decontamMinHits))
       }
+    // exact-substring dup likewise reads TEXT from the source pages —
+    // one narrow scan projecting to 8-byte gram hashes, only when on
+    val substrV: Option[DataFrame] =
+      if (cfg.exactSubstrTokens <= 0) None
+      else Some(Rules.exactSubstrDup(pages, col("url"), col("text"),
+        cfg.exactSubstrTokens, maxFrac = cfg.maxSubstrDupFrac))
     // URL rules read only the key column; host cap adds one bounded-heap
     // groupBy on host — both off by default
     val urlV: Seq[DataFrame] =
@@ -822,7 +836,7 @@ object QualityPipeline {
       (if (cfg.hostDocCap <= 0) Nil
        else Seq(Rules.hostCap(pages, col("url"), col("url"), cfg.hostDocCap)))
     val v1aF = Future(ph("v1a checkpoint")(
-      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ urlV).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ substrV.toSeq ++ urlV).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

@@ -415,6 +415,25 @@ object Rules {
       concat_ws("/", col("n_contaminated"), lit("eval_gram_hits")))
   }
 
+  /** Cross-document exact-substring duplication rule (Lee et al. 2021
+    * ExactSubstr shape, via [[graft.functions.ExactSubstr]]): flag any
+    * document whose fraction of tokens covered by ≥ `l`-token spans
+    * shared with ≥ `minDocs` distinct documents reaches `maxFrac`. The
+    * paper's L is 50 tokens; doc-DROP (not span-EDIT) semantics here
+    * preserve the byte-identical scrub contract, same reasoning as the
+    * C4 line battery. Complements MinHash/SimHash whole-doc near-dup:
+    * those miss a long verbatim span inside two otherwise-different
+    * documents; this rule measures exactly that.
+    */
+  def exactSubstrDup(df: DataFrame, key: Column, text: Column,
+                     l: Int = 50, minDocs: Long = 2L,
+                     maxFrac: Double = 0.2): DataFrame = {
+    val st = graft.functions.ExactSubstr.substrDupStats(df, key, text, l, minDocs)
+    verdict(st.filter(col("dup_frac") >= maxFrac), col("__k"),
+      "exact_substr_dup", col("dup_frac"),
+      concat_ws("/", col("dup_tokens"), col("n_tokens"), lit(s"dup@L$l")))
+  }
+
   /** URL battery (RefinedWeb §3.1 shape, via [[graft.functions.UrlFns]]):
     * blocked-host membership, adult/spam keyword in the URL, and
     * over-long URLs — all pure narrow expressions riding whatever scan
