@@ -161,4 +161,27 @@ class PlanSpec extends AnyFunSuite {
         s"shuffle carries paragraph text: ${names.mkString(",")}")
     }
   }
+
+  test("substrDupStats: no shuffle carries gram text (8-byte hash + position only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val pages = graft.sources.PagesGen.generate(spark, 200, 2).toDF()
+    val st = graft.functions.ExactSubstr.substrDupStats(
+      pages, col("url"), col("text"), l = 8)
+    // Same contract as boilerplateParagraphs: the exploded L-gram STRING
+    // `__g` must die in the scan partition (projected to xxhash64) —
+    // every Exchange ships only (__h, __k, __pos)-shaped rows. An
+    // L-gram-text shuffle would ship ~L copies of the corpus.
+    val root = st.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least one shuffle in the operator")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("__g"),
+        s"shuffle carries gram text: ${names.mkString(",")}")
+    }
+  }
 }
