@@ -1640,6 +1640,80 @@ object Queries {
        |FROM g LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** KNN imputation of missing numerics ([[graft.functions.KnnImpute]],
+    * reference C8: sklearn KNNImputer(k=10, uniform) at
+    * improve_data_quality.py:459-480). Features are integer-valued
+    * (n_chars, token count, summed token length) so every distance,
+    * mean and rounding is exact in BOTH engines (see the module
+    * scaladoc); missingness is PLANTED deterministically (the
+    * dq_exact_dup augmentation pattern) since derived text features
+    * are total. Tie-break (dist, donor id) pinned on both sides —
+    * sklearn leaves equal-distance order unspecified.
+    */
+  val dqKnnImpute: (SparkSession, String) => DataFrame = (s, dir) => {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val base = docs(s, dir)
+      .withColumn("__toks", toks) // staged: HOF lambdas re-eval inline subtrees
+      .select(col("doc_id"),
+        when(col("doc_id") % 37 === 3, lit(null))
+          .otherwise(col("n_chars")).cast(DoubleType).as("f1"),
+        when(col("doc_id") % 41 === 5, lit(null))
+          .otherwise(size(col("__toks"))).cast(DoubleType).as("f2"),
+        when(col("doc_id") % 43 === 7, lit(null))
+          .otherwise(aggregate(col("__toks"), lit(0L),
+            (acc, t) => acc + length(t).cast(LongType)))
+          .cast(DoubleType).as("f3"))
+    graft.functions.KnnImpute
+      .imputeCells(base, col("doc_id"), Seq("f1", "f2", "f3"), k = 10)
+      .withColumnRenamed("__k", "doc_id")
+      .orderBy("doc_id", "col")
+  }
+
+  val dqKnnImputeSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 37 = 3 THEN NULL ELSE n_chars END)::DOUBLE AS f1,
+       |    (CASE WHEN doc_id % 41 = 5 THEN NULL ELSE ${Frag.nWords("text")} END)::DOUBLE AS f2,
+       |    (CASE WHEN doc_id % 43 = 7 THEN NULL ELSE ${Frag.sumTokLen("text")} END)::DOUBLE AS f3
+       |  FROM documents),
+       |cm AS (SELECT avg(f1) AS f1, avg(f2) AS f2, avg(f3) AS f3 FROM f),
+       |recv AS (SELECT doc_id AS rid, f1 AS r1, f2 AS r2, f3 AS r3 FROM f
+       |         WHERE f1 IS NULL OR f2 IS NULL OR f3 IS NULL),
+       |miss AS (
+       |  SELECT rid, 'f1' AS col FROM recv WHERE r1 IS NULL
+       |  UNION ALL SELECT rid, 'f2' FROM recv WHERE r2 IS NULL
+       |  UNION ALL SELECT rid, 'f3' FROM recv WHERE r3 IS NULL),
+       |pairs AS (
+       |  SELECT r.rid, d.doc_id AS did, d.f1 AS d1, d.f2 AS d2, d.f3 AS d3,
+       |    ((r.r1 IS NOT NULL AND d.f1 IS NOT NULL)::INT
+       |     + (r.r2 IS NOT NULL AND d.f2 IS NOT NULL)::INT
+       |     + (r.r3 IS NOT NULL AND d.f3 IS NOT NULL)::INT) AS ns,
+       |    (COALESCE(CASE WHEN r.r1 IS NOT NULL AND d.f1 IS NOT NULL
+       |                   THEN (r.r1 - d.f1) * (r.r1 - d.f1) END, 0)
+       |     + COALESCE(CASE WHEN r.r2 IS NOT NULL AND d.f2 IS NOT NULL
+       |                     THEN (r.r2 - d.f2) * (r.r2 - d.f2) END, 0)
+       |     + COALESCE(CASE WHEN r.r3 IS NOT NULL AND d.f3 IS NOT NULL
+       |                     THEN (r.r3 - d.f3) * (r.r3 - d.f3) END, 0)) AS ss
+       |  FROM recv r JOIN f d ON d.doc_id <> r.rid),
+       |cand AS (
+       |  SELECT p.rid, m.col,
+       |    CASE m.col WHEN 'f1' THEN p.d1 WHEN 'f2' THEN p.d2 ELSE p.d3 END AS val,
+       |    row_number() OVER (PARTITION BY p.rid, m.col
+       |      ORDER BY p.ss * 3.0 / p.ns ASC, p.did ASC) AS rn
+       |  FROM pairs p JOIN miss m ON m.rid = p.rid
+       |  WHERE p.ns > 0
+       |    AND CASE m.col WHEN 'f1' THEN p.d1 WHEN 'f2' THEN p.d2 ELSE p.d3 END
+       |        IS NOT NULL),
+       |knn AS (SELECT rid, col, avg(val) AS knn_val FROM cand
+       |        WHERE rn <= 10 GROUP BY rid, col)
+       |SELECT m.rid AS doc_id, m.col,
+       |  round(COALESCE(k.knn_val,
+       |    CASE m.col WHEN 'f1' THEN cm.f1 WHEN 'f2' THEN cm.f2 ELSE cm.f3 END),
+       |    6) AS imputed
+       |FROM miss m LEFT JOIN knn k ON k.rid = m.rid AND k.col = m.col
+       |CROSS JOIN cm
+       |ORDER BY m.rid, m.col""".stripMargin
+
   /** Deterministic URL synthesis shared by the `dq_url_rules` /
     * `dq_host_cap` oracles (the documents table carries no url; the
     * north-rule pages table does): 37 hosts, an adult-keyword path on
@@ -1828,6 +1902,7 @@ object Queries {
     "dq_boilerplate" -> dqBoilerplate,
     "dq_decontam" -> dqDecontam,
     "dq_substr_dup" -> dqSubstrDup,
+    "dq_knn_impute" -> dqKnnImpute,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,
@@ -1879,6 +1954,7 @@ object Queries {
     "dq_boilerplate" -> dqBoilerplateSql,
     "dq_decontam" -> dqDecontamSql,
     "dq_substr_dup" -> dqSubstrDupSql,
+    "dq_knn_impute" -> dqKnnImputeSql,
     "dq_url_rules" -> dqUrlRulesSql,
     "dq_host_cap" -> dqHostCapSql,
     "dq_quality_buckets" -> dqQualityBucketsSql,
