@@ -1714,6 +1714,44 @@ object Queries {
        |CROSS JOIN cm
        |ORDER BY m.rid, m.col""".stripMargin
 
+  /** HTML → text extraction ([[graft.functions.HtmlExtract]] — the north
+    * rule's "byte-identical extracted text per url" step). The documents
+    * table carries no html, so both engines synthesize the SAME page
+    * around each document's text (chrome with a script/style/head
+    * subtree, a comment, entities, block structure, `&`-escaped body)
+    * and run the SAME ordered transform chain — Spark as codegen'd
+    * built-ins, DuckDB via [[graft.functions.HtmlExtract.sqlExpr]]; the
+    * pattern dialect is restricted to what Java regex and RE2 share.
+    */
+  private val HtmlPre: String =
+    "<html><head><title>doc</title><style>p{margin:0}</style>" +
+      "<script>var x = \"<b>1</b>\";</script></head><body><!-- c -->" +
+      "<div class=\"nav\">Home&nbsp;|&nbsp;About &amp; Help</div><p>"
+  private val HtmlPost: String =
+    "</p><ul><li>tag <b>bold</b></li><li>x &lt;= y</li></ul>" +
+      "<footer>(c) 2024</footer></body></html>"
+
+  val dqHtmlExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .withColumn("extracted", graft.functions.HtmlExtract.extract(
+        concat(lit(HtmlPre),
+          replace(col("text"), lit("&"), lit("&amp;")), lit(HtmlPost))))
+      .select(col("doc_id"), col("extracted"),
+        length(col("extracted")).cast(LongType).as("n_chars_extracted"))
+      .orderBy("doc_id")
+
+  val dqHtmlExtractSql: String = {
+    def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
+    val html =
+      s"(${sqlLit(HtmlPre)} || replace(text, '&', '&amp;') || ${sqlLit(HtmlPost)})"
+    s"""SELECT doc_id,
+       |  ${graft.functions.HtmlExtract.sqlExpr(html)} AS extracted,
+       |  length(${graft.functions.HtmlExtract.sqlExpr(html)})::BIGINT
+       |    AS n_chars_extracted
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic URL synthesis shared by the `dq_url_rules` /
     * `dq_host_cap` oracles (the documents table carries no url; the
     * north-rule pages table does): 37 hosts, an adult-keyword path on
@@ -1903,6 +1941,7 @@ object Queries {
     "dq_decontam" -> dqDecontam,
     "dq_substr_dup" -> dqSubstrDup,
     "dq_knn_impute" -> dqKnnImpute,
+    "dq_html_extract" -> dqHtmlExtract,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,
@@ -1955,6 +1994,7 @@ object Queries {
     "dq_decontam" -> dqDecontamSql,
     "dq_substr_dup" -> dqSubstrDupSql,
     "dq_knn_impute" -> dqKnnImputeSql,
+    "dq_html_extract" -> dqHtmlExtractSql,
     "dq_url_rules" -> dqUrlRulesSql,
     "dq_host_cap" -> dqHostCapSql,
     "dq_quality_buckets" -> dqQualityBucketsSql,

@@ -113,6 +113,13 @@ object QualityPipeline {
       // production L is 50).
       exactSubstrTokens: Int = 0,
       maxSubstrDupFrac: Double = 0.5,
+      // opt-in HTML → text extraction at the pipeline entrance: text is
+      // DERIVED from the html payload (HtmlExtract.extractBinary — the
+      // north rule's "byte-identical extracted text per url" step)
+      // instead of trusted from the source. A narrow codegen'd per-row
+      // map on both source scans; zero cost when off. Default off: the
+      // fixture corpus carries pre-extracted text.
+      extractHtml: Boolean = false,
       rareComboMin: Long = 10,           // A5 semantics
       maxToxicityHits: Int = 3,          // drop beyond; scrub below
       saltBuckets: Int = 64,             // exact-dedup join-back salt fan-out (hot-key skew)
@@ -161,7 +168,18 @@ object QualityPipeline {
     * re-evaluates per element — see DocStats scaladoc). TextFns remains
     * the semantic reference; DocStatsSpec cross-validates the two paths.
     */
-  def features(pages: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+  /** text column swap for `cfg.extractHtml`: derive text from the html
+    * payload (before any html drop). Applied independently by features()
+    * and run()'s kept writer — each extracts from the SOURCE bytes, so
+    * the transform is never applied twice to the same column.
+    */
+  private def withSourceText(pages: DataFrame, cfg: Config): DataFrame =
+    if (!cfg.extractHtml) pages
+    else pages.withColumn("text",
+      graft.functions.HtmlExtract.extractBinary(col("html")))
+
+  def features(pages0: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val pages = withSourceText(pages0, cfg)
     // Gopher repetition battery rides the same feature scan as an extra
     // fused expression when toggled on (still ONE pass over text, still
     // no text in the output frame); zero cost when off.
@@ -864,7 +882,7 @@ object QualityPipeline {
     // — strictly cheaper than shuffling the kept bodies through a join
     // against the feature frame.
     val droppedAll = v1.select("url").unionByName(v2.select("url")).distinct()
-    val kept = pages.drop("html")
+    val kept = withSourceText(pages, cfg).drop("html")
       .join(droppedAll, Seq("url"), "left_anti")
       .withColumn("__ds", DocStats.docStats(coalesce(col("text"), lit("")), 0))
       .select(col("url"), col("warc_ts"), col("lang"),

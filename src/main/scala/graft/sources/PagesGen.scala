@@ -148,11 +148,13 @@ object PagesGen {
         (if (id % 3 == 0) "" else "home | about | contact", lang)
       case "symbol_junk" =>
         val t = baseText(id, lang)
-        (t.take(80) + " " + Seq.fill(60)("#$%&*@!^~").mkString(" "), lang)
+        // trim: take(80) can land just past a space — the corpus keeps
+        // the invariant normalizeWs(text) == text (HtmlExtractSpec)
+        (t.take(80).trim + " " + Seq.fill(60)("#$%&*@!^~").mkString(" "), lang)
       case "extreme_length" =>
         (words(r, lang, 3000), lang)
       case "gibberish" =>
-        (gibberish(r, 800), lang)
+        (gibberish(r, 800).trim, lang) // trim: generator can end on ' '
       case "pii" =>
         val t = baseText(id, lang)
         (t + s"\ncontact: user$id@example.com or 555-${100 + id % 900}-${1000 + id % 9000}" +
@@ -170,9 +172,29 @@ object PagesGen {
       case _ =>
         (baseText(id, lang), lang)
     }
-    val html = s"<html><head><title>p$id</title></head><body>$text</body></html>"
-      .getBytes("UTF-8")
-    Page(url, ts, html, text, labelLang)
+    Page(url, ts, wrapHtml(id, text).getBytes("UTF-8"), text, labelLang)
+  }
+
+  /** Realistic page chrome around the body text, composed so that
+    * `HtmlExtract.extract(html) == text` BYTE-IDENTICALLY: every piece
+    * of chrome text lives inside a dropped subtree (head/script/
+    * noscript) or a comment, the visible chrome (nav/footer) carries
+    * only whitespace/entities that normalize away, and the body escapes
+    * `&` so entity decode restores the original bytes. HtmlExtractSpec
+    * pins the invariant across every error class; the `extractHtml`
+    * pipeline toggle rests on it.
+    */
+  private[graft] def wrapHtml(id: Long, text: String): String = {
+    val esc = text.replace("&", "&amp;")
+    s"""<html>
+       |<head><meta charset="utf-8"><title>p$id</title>
+       |<style>body{margin:0;font:14px sans-serif}</style>
+       |<script>var nav = "<p>not content</p>";</script></head>
+       |<body><!-- crawl $id --><header><nav>&nbsp;</nav></header>
+       |<div id="main"><p>$esc</p></div>
+       |<noscript>JS disabled</noscript>
+       |<footer>&nbsp;</footer></body>
+       |</html>""".stripMargin
   }
 
   def generate(spark: SparkSession, n: Long,

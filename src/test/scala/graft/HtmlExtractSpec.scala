@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlExtract
+import graft.sources.PagesGen
+import graft.pipeline.QualityPipeline
+
+/** [[graft.functions.HtmlExtract]] — the specified transform chain on
+  * hand cases, the PagesGen byte-identity invariant across every error
+  * class, and the `extractHtml` pipeline toggle producing the SAME
+  * verdicts and kept bytes as the text-given run.
+  */
+class HtmlExtractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ex(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.extract(col("h"))).head.getString(0)
+
+  test("dropped subtrees, comments, block newlines, tag strip") {
+    assert(ex("<html><head><title>T</title><script>var a='<p>x</p>';" +
+      "</script></head><body><p>one</p><div>two</div></body></html>")
+      == "one\n\ntwo") // close-p + open-div = paragraph break (capped at 2)
+    assert(ex("a<!-- hidden\nlines -->b") == "ab")
+    assert(ex("<ul><li>x</li><li>y</li></ul>") == "x\n\ny")
+    assert(ex("keep <span class=\"s\">inline</span> text")
+      == "keep inline text")
+    assert(ex("<STYLE>p{}</STYLE>ok<NOSCRIPT>no</NOSCRIPT>") == "ok")
+  }
+
+  test("entity decode: after tag strip, &amp; last, data never re-parsed") {
+    // &amp;lt; is the literal text "&lt;" — decoding &amp; last keeps it
+    assert(ex("a &amp;lt; b") == "a &lt; b")
+    // a decoded '<' is data, not markup
+    assert(ex("x &lt;p&gt; y") == "x <p> y")
+    assert(ex("A&nbsp;B &quot;q&quot; it&#39;s &apos;z&apos;")
+      == "A B \"q\" it's 'z'")
+    // unknown entities pass through untouched
+    assert(ex("&copy; &bogus;") == "&copy; &bogus;")
+  }
+
+  test("whitespace: runs, newline trim, paragraph cap, outer trim") {
+    assert(ex("  a\t\tb\r\nc  ") == "a b\nc")
+    assert(ex("<p>a</p><p></p><p></p><p>b</p>") == "a\n\nb")
+    assert(ex("") == "" && ex("<p></p>") == "")
+    // malformed: unclosed '<' survives as data
+    assert(ex("5 < 6 but <b>bold") == "5 < 6 but bold")
+  }
+
+  test("PagesGen invariant: extract(html) == text, every error class") {
+    val n = 2200L // covers every class many times over (moduli ≤ 101)
+    val pages = PagesGen.generate(spark, n, partitions = 4)
+    val bad = pages.toDF()
+      .withColumn("extracted", HtmlExtract.extractBinary(col("html")))
+      .filter(col("extracted") =!= col("text"))
+    assert(bad.count() == 0)
+    // and the corpus is normalizeWs-fixed (what makes byte-identity
+    // possible: extraction's ws phase is identity on generated text)
+    val unnorm = pages.toDF()
+      .filter(HtmlExtract.normalizeWs(col("text")) =!= col("text"))
+    assert(unnorm.count() == 0)
+  }
+
+  test("extractHtml toggle: html-derived run == text-given run, bytes") {
+    val pages = PagesGen.generate(spark, 1500, partitions = 4).toDF().cache()
+    pages.count()
+    // the html-only frame: text column poisoned so any read of it fails
+    // the comparison — extraction must supply every downstream byte
+    val htmlOnly = pages.withColumn("text", lit(null).cast("string"))
+    val a = QualityPipeline.run(pages)
+    val b = QualityPipeline.run(htmlOnly,
+      QualityPipeline.defaultConfig.copy(extractHtml = true))
+    def verdictSet(r: QualityPipeline.Result) =
+      r.verdicts.select("url", "rule").as[(String, String)].collect().toSet
+    def keptSet(r: QualityPipeline.Result) =
+      r.kept.select("url", "scrubbed_text").as[(String, String)]
+        .collect().toSet
+    assert(verdictSet(a) == verdictSet(b))
+    assert(keptSet(a) == keptSet(b))
+    a.bag.release(); b.bag.release(); pages.unpersist()
+  }
+}
