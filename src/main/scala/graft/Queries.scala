@@ -1714,6 +1714,18 @@ object Queries {
        |CROSS JOIN cm
        |ORDER BY m.rid, m.col""".stripMargin
 
+  /** C10 cell-value Word2Vec ([[graft.functions.CellEmbed]], reference
+    * dead code at utils.py:398-408). No DuckDB oracle is possible for
+    * iterative embedding training — the driver records the rows-only
+    * check (rows = the 14-word lang∪source vocabulary + Nan).
+    */
+  val w2vCells: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.functions.CellEmbed
+      .vocabVectors(docs(s, dir), Seq("lang", "source"), "doc_id",
+        dim = 16, chunk = 256)
+      .select(col("word"), size(col("vector")).cast(LongType).as("dim"))
+      .orderBy("word")
+
   /** HTML → text extraction ([[graft.functions.HtmlExtract]] — the north
     * rule's "byte-identical extracted text per url" step). The documents
     * table carries no html, so both engines synthesize the SAME page
@@ -1942,6 +1954,7 @@ object Queries {
     "dq_substr_dup" -> dqSubstrDup,
     "dq_knn_impute" -> dqKnnImpute,
     "dq_html_extract" -> dqHtmlExtract,
+    "w2v_cells" -> w2vCells,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,

@@ -27,6 +27,21 @@ object Rules {
       score.cast(DoubleType).as("score"),
       detail.cast("string").as("detail"))
 
+  /** O4 `push_bad_index` (`/root/reference/src/improve_data_quality.py:
+    * 162-172`, deprecated there — kept for surface completeness): append
+    * an externally supplied bad-url list to the verdict set. The
+    * reference appends raw indexes to a Python list (duplicates and
+    * all); the verdict-frame analogue is a union of DROP verdicts under
+    * an `external` rule — downstream consumers (`add_to_bad_idx` ≙
+    * verdict union + distinct on url) already dedupe, exactly as the
+    * reference's `bad_index` property does via `set()`.
+    */
+  def pushBadIndex(verdicts: DataFrame, badUrls: DataFrame,
+                   rule: String = "external"): DataFrame =
+    verdicts.unionByName(
+      verdict(badUrls, col(badUrls.columns.head), rule,
+        lit(1.0), lit("pushed")))
+
   /** Exact duplicate detection, reference semantics
     * (`improve_data_quality.py:286-298`): all-but-first occurrence of
     * identical content is flagged, "first" = smallest key (pandas file
