@@ -64,13 +64,23 @@ object Decontam {
   def contamination(df: DataFrame, key: Column, text: Column,
                     eval: DataFrame, n: Int,
                     broadcastEval: Boolean = true): DataFrame = {
+    // Probe on 64-bit gram hashes: the corpus side computes them with
+    // the codegen'd [[GramHash]] kernel over a staged token array (the
+    // composed wordNgrams shape re-evaluated the tokenizer per window in
+    // the interpreted HOF lambda), and the eval side — always the tiny,
+    // often-broadcast side — hashes its materialized gram strings with
+    // the xxhash64 built-in, which [[GramHash]] matches bit-for-bit. A
+    // 64-bit collision counting a clean gram as contaminated is the
+    // same accepted risk as the exactDup/boilerplate hash bucketing.
     val ev = (if (broadcastEval) broadcast(eval) else eval)
-      .select(col("gram"), lit(1).as("__hit"))
+      .select(xxhash64(col("gram")).as("__h"), lit(1).as("__hit"))
     val grams = df
-      .select(key.as("__k"), wordNgrams(text, n).as("__gs"))
-      .select(col("__k"), size(col("__gs")).as("__n"),
-        explode_outer(col("__gs")).as("gram"))
-    grams.join(ev, Seq("gram"), "left")
+      .select(key.as("__k"), text.as("__t"))
+      .withColumn("__toks", TextFns.tokens(lower(col("__t"))))
+      .select(col("__k"), GramHash.gramHashes(col("__toks"), n).as("__hs"))
+      .select(col("__k"), size(col("__hs")).as("__n"),
+        explode_outer(col("__hs")).as("__h"))
+    grams.join(ev, Seq("__h"), "left")
       .groupBy("__k")
       // __n is constant per key; max() just carries it through the agg
       .agg(greatest(max(col("__n")), lit(0)).cast("long").as("n_grams"),

@@ -28,10 +28,12 @@ import org.apache.spark.sql.types.DoubleType
   * surface beyond it.
   *
   * Scale shape (10⁸-doc regime, the boilerplateParagraphs pattern):
-  *  - gram text NEVER shuffles: windows project to (xxhash64(gram), key,
-  *    pos) in the scan partition, ~20 B/token. (Hash note: bucketing by
-  *    64-bit hash, like exactDup/boilerplate; the DuckDB oracle groups
-  *    by gram text itself — identical result absent a 64-bit collision.)
+  *  - gram text never EXISTS: [[GramHash]] emits (xxhash64(gram), key,
+  *    pos) straight from the staged token array in the scan partition,
+  *    ~20 B/token, no interpreted HOF, no gram-string allocation.
+  *    (Hash note: bucketing by 64-bit hash, like exactDup/boilerplate;
+  *    the DuckDB oracle groups by gram text itself — identical result
+  *    absent a 64-bit collision.)
   *  - ndocs per gram = distinct-(hash, key) THEN count: the distinct
   *    spreads a mega-hot gram ("all rights reserved …" boilerplate)
   *    across the (hash, key) space before the map-side-combinable count.
@@ -56,14 +58,21 @@ object ExactSubstr {
                      l: Int, minDocs: Long = 2L): DataFrame = {
     require(l >= 1, s"span length must be >= 1 token, got $l")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
-    val base = df.select(key.as("__k"),
-      Decontam.wordNgrams(text, l).as("__gs"),
-      // greatest(_, 0) absorbs size(null) = null on null text
-      greatest(size(TextFns.tokens(text)), lit(0)).cast("long").as("n_tokens"))
+    // Tokens are STAGED in a column so the gram kernel reads a bound
+    // attribute; the composed wordNgrams + xxhash64(__g) shape ran the
+    // interpreted-HOF lambda re-evaluating the tokenizer per window
+    // (O(tokens²) regex work per doc — 23.6 s on the sf0.1 board, 10×
+    // the next query). GramHashes emits bit-identical xxhash64 values
+    // in one codegen'd pass and the gram string now never exists at all.
+    val base = df.select(key.as("__k"), text.as("__t"))
+      .withColumn("__toks", TextFns.tokens(lower(col("__t"))))
+      .select(col("__k"),
+        GramHash.gramHashes(col("__toks"), l).as("__hs"),
+        // greatest(_, 0) absorbs size(null) = null on null text
+        greatest(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
     val pos = base
-      .select(col("__k"), posexplode(col("__gs")).as(Seq("__p0", "__g")))
-      .select(col("__k"), (col("__p0") + 1).cast("long").as("__pos"),
-        xxhash64(col("__g")).as("__h"))
+      .select(col("__k"), posexplode(col("__hs")).as(Seq("__p0", "__h")))
+      .select(col("__k"), (col("__p0") + 1).cast("long").as("__pos"), col("__h"))
     val nd = pos.select("__h", "__k").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") >= minDocs)

@@ -24,6 +24,27 @@ class DecontamSpec extends AnyFunSuite {
     assert(out("d").isEmpty)    // null text -> null grams
   }
 
+  test("GramHash.gramHashes == xxhash64(wordNgrams) bit-for-bit") {
+    import graft.functions.{Decontam, GramHash, TextFns}
+    // real-ish pages + edge shapes: unicode, punctuation glued to words,
+    // tabs/newlines, exactly-n tokens, n-1 tokens, empty, null
+    val texts = graft.sources.PagesGen.generate(spark, 40, 2).toDF()
+      .select("text").as[String].collect().toSeq ++ Seq(
+      "Üñïçödé tökens müßen auch gehen ÉL NIÑO déjà vu",
+      "a b c d e f g h", "a\tb\nc  d\r\ne", "one two", "one", "", null)
+    for (n <- Seq(2, 3, 8)) {
+      val df = texts.toDF("text")
+      val composed = df.select(
+        transform(Decontam.wordNgrams(col("text"), n), g => xxhash64(g))
+          .as("hs")).collect().map(r => Option(r.getSeq[Long](0)))
+      val fused = df
+        .withColumn("__toks", TextFns.tokens(lower(col("text"))))
+        .select(GramHash.gramHashes(col("__toks"), n).as("hs"))
+        .collect().map(r => Option(r.getSeq[Long](0)))
+      assert(fused.toSeq == composed.toSeq, s"n=$n")
+    }
+  }
+
   test("contamination: multiset doc-side counting against a distinct eval set") {
     val eval = Decontam.evalGrams(
       Seq("x y z", "p q r").toDF("p"), col("p"), 3)

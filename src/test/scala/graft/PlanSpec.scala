@@ -135,6 +135,10 @@ class PlanSpec extends AnyFunSuite {
       val names = e.output.map(_.name)
       assert(!(names.contains("gram") && names.contains("__k")),
         s"shuffle carries exploded corpus grams: ${names.mkString(",")}")
+      // corpus side now hashes via GramHash over staged tokens — neither
+      // the text nor the token array may reach a shuffle boundary
+      assert(!names.contains("__t") && !names.contains("__toks"),
+        s"shuffle carries corpus text/tokens: ${names.mkString(",")}")
     }
   }
 
@@ -182,6 +186,10 @@ class PlanSpec extends AnyFunSuite {
       val names = e.output.map(_.name)
       assert(!names.contains("__g"),
         s"shuffle carries gram text: ${names.mkString(",")}")
+      // post-GramHash shape: the gram string never exists; the staged
+      // text/token columns must die in the scan partition too
+      assert(!names.contains("__t") && !names.contains("__toks"),
+        s"shuffle carries doc text/tokens: ${names.mkString(",")}")
     }
   }
 }
