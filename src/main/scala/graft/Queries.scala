@@ -1726,6 +1726,42 @@ object Queries {
       .select(col("word"), size(col("vector")).cast(LongType).as("dim"))
       .orderBy("word")
 
+  /** Model-based quality score ([[graft.functions.QualityModel]] — the
+    * fastText-shaped linear classifier over md5-bucketed char trigrams
+    * the modern filter stack (CCNet/GPT-3 reference classifiers, DCLM,
+    * FineWeb-Edu) runs next to the heuristic batteries). Oracle: the
+    * trained, 1e-6-quantized weights render into the SQL as a
+    * 4096-double list literal, and both engines walk the SAME
+    * md5 → bucket → mean → σ chain over the SAME normalized text; the
+    * only cross-engine freedom is exp()'s last ulp, absorbed by
+    * round(…, 4).
+    */
+  val dqQualityScore: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .withColumn("__nm", TextFns.normText(col("text")))
+      .select(col("doc_id"),
+        round(graft.functions.QualityModel.scoreColumn(col("__nm")), 4)
+          .as("q_score"))
+      .orderBy("doc_id")
+
+  val dqQualityScoreSql: String = {
+    val m = graft.functions.QualityModel.Default
+    val wLit = m.w.mkString("[", ", ", "]")
+    val bkt = graft.functions.QualityModel.Buckets
+    s"""WITH w AS (SELECT $wLit::DOUBLE[] AS ws),
+       |nt AS (SELECT doc_id, ${Frag.norm("text")} AS nm FROM documents),
+       |sh AS (SELECT doc_id, nm, ${Frag.charShingles("nm", 3)} AS ss FROM nt),
+       |d AS (SELECT doc_id,
+       |  CASE WHEN nm IS NULL THEN NULL
+       |       WHEN len(ss) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(ss, s ->
+       |         ws[CAST((('0x' || substr(md5(s), 1, 15))::BIGINT % $bkt) AS INT) + 1]))
+       |            / len(ss) END AS mw
+       |  FROM sh CROSS JOIN w)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-(mw + ${m.b}))), 4) AS q_score
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** HTML → text extraction ([[graft.functions.HtmlExtract]] — the north
     * rule's "byte-identical extracted text per url" step). The documents
     * table carries no html, so both engines synthesize the SAME page
@@ -1955,6 +1991,7 @@ object Queries {
     "dq_knn_impute" -> dqKnnImpute,
     "dq_html_extract" -> dqHtmlExtract,
     "w2v_cells" -> w2vCells,
+    "dq_quality_score" -> dqQualityScore,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,
@@ -1980,6 +2017,7 @@ object Queries {
     "dq_simhash_neardup" -> dqSimHashNearDupSql,
     "dq_simhash_neardup_wide" -> dqSimHashNearDupWideSql,
     "dq_ngram_jaccard" -> dqNgramJaccardSql,
+    "dq_quality_score" -> dqQualityScoreSql,
     "dq_completeness" -> dqCompletenessSql,
     "dq_extreme_zscore" -> dqExtremeZscoreSql,
     "dq_group_zscore" -> dqGroupZscoreSql,

@@ -113,6 +113,13 @@ object QualityPipeline {
       // production L is 50).
       exactSubstrTokens: Int = 0,
       maxSubstrDupFrac: Double = 0.5,
+      // opt-in model-based quality rule (Rules.modelQualityRule — the
+      // fastText-shaped hashed-trigram classifier): drop docs scoring
+      // below this. One codegen'd narrow map over the source text scan
+      // when on; None = rule off (the F1 goldens are pinned to the
+      // heuristic rule set). On the built-in model the planted classes
+      // separate at 0.45 with ±0.17 margin (QualityModelSpec).
+      modelQualityMin: Option[Double] = None,
       // opt-in HTML → text extraction at the pipeline entrance: text is
       // DERIVED from the html payload (HtmlExtract.extractBinary — the
       // north rule's "byte-identical extracted text per url" step)
@@ -845,6 +852,11 @@ object QualityPipeline {
       if (cfg.exactSubstrTokens <= 0) None
       else Some(Rules.exactSubstrDup(pages, col("url"), col("text"),
         cfg.exactSubstrTokens, maxFrac = cfg.maxSubstrDupFrac))
+    // model-based quality score likewise reads TEXT — one codegen'd
+    // narrow map on the source scan, only when on
+    val modelV: Option[DataFrame] =
+      cfg.modelQualityMin.map(theta =>
+        Rules.modelQualityRule(pages, col("url"), col("text"), theta))
     // URL rules read only the key column; host cap adds one bounded-heap
     // groupBy on host — both off by default
     val urlV: Seq[DataFrame] =
@@ -854,7 +866,7 @@ object QualityPipeline {
       (if (cfg.hostDocCap <= 0) Nil
        else Seq(Rules.hostCap(pages, col("url"), col("url"), cfg.hostDocCap)))
     val v1aF = Future(ph("v1a checkpoint")(
-      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ substrV.toSeq ++ urlV).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ substrV.toSeq ++ modelV.toSeq ++ urlV).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

@@ -449,6 +449,28 @@ object Rules {
       concat_ws("/", col("dup_tokens"), col("n_tokens"), lit(s"dup@L$l")))
   }
 
+  /** Model-based quality rule ([[graft.functions.QualityModel]] — the
+    * fastText-shaped hashed-trigram classifier the CCNet/DCLM/FineWeb-Edu
+    * stack runs next to the heuristic batteries): drop documents scoring
+    * below `minScore`. One codegen'd narrow map over whatever scan reads
+    * the text column — the ~32 KB weight table rides inside the
+    * expression to every executor; zero shuffle, no model server. The
+    * [[graft.functions.QualityModel.Default]] model is the built-in; a
+    * production model trained on real labels loads via
+    * [[graft.functions.QualityModel.fromFrame]].
+    */
+  def modelQualityRule(df: DataFrame, key: Column, text: Column,
+                       minScore: Double,
+                       model: graft.functions.QualityModel.Model =
+                         graft.functions.QualityModel.Default): DataFrame = {
+    val scored = df.select(key.as("__k"),
+        graft.functions.QualityModel.scoreColumn(
+          graft.functions.TextFns.normText(text), model).as("__q"))
+      .filter(col("__q") < minScore)
+    verdict(scored, col("__k"), "model_quality", col("__q"),
+      concat_ws("<", round(col("__q"), 4), lit(minScore.toString)))
+  }
+
   /** URL battery (RefinedWeb §3.1 shape, via [[graft.functions.UrlFns]]):
     * blocked-host membership, adult/spam keyword in the URL, and
     * over-long URLs — all pure narrow expressions riding whatever scan
