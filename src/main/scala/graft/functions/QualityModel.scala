@@ -177,6 +177,24 @@ object QualityModel {
     train(rows.toSeq, iters, lr, l2)
   }
 
+  /** Threshold calibration — the FineWeb-style "keep the top X% by
+    * score" operating point: the (1 − keepRate) quantile of the score
+    * distribution, via `percentile_approx` (one pass, mergeable sketch —
+    * corpus-scale). Drop docs scoring BELOW the returned θ to keep
+    * ≈ keepRate of the corpus.
+    */
+  def thresholdForKeepRate(df: DataFrame, textCol: String, keepRate: Double,
+                           m: Model = Default,
+                           accuracy: Int = 10000): Double = {
+    require(keepRate > 0.0 && keepRate < 1.0,
+      s"keepRate must be in (0,1), got $keepRate")
+    import org.apache.spark.sql.functions.{lit, percentile_approx}
+    df.select(percentile_approx(
+        scoreColumn(TextFns.normText(col(textCol)), m),
+        lit(1.0 - keepRate), lit(accuracy)).as("t"))
+      .head().getDouble(0)
+  }
+
   // =====================================================================
   // Built-in model — trained at class load from a deterministic in-JVM
   // corpus (no Spark, no IO): positives from the langid seed corpus +

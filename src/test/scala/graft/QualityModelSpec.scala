@@ -100,6 +100,19 @@ class QualityModelSpec extends AnyFunSuite {
       f"label-trained model must separate held-out classes (junk max ${jj.max}%.3f vs clean min ${c.min}%.3f)")
   }
 
+  test("thresholdForKeepRate: the calibrated θ keeps ≈ the target rate") {
+    val n = pages.count().toDouble
+    for (rate <- Seq(0.80, 0.95)) {
+      val theta = QualityModel.thresholdForKeepRate(pages, "text", rate)
+      val kept = pages
+        .withColumn("q", QualityModel.scoreColumn(TextFns.normText(col("text"))))
+        .filter(col("q") >= theta).count().toDouble
+      info(f"rate=$rate θ=$theta%.4f kept=${kept / n}%.4f")
+      assert(math.abs(kept / n - rate) < 0.03,
+        f"keepRate $rate calibrated to ${kept / n}%.4f")
+    }
+  }
+
   test("modelQualityRule flags exactly the sub-threshold docs") {
     val v = Rules.modelQualityRule(pages, col("url"), col("text"), 0.45)
       .select("url").as[String].collect().toSet
