@@ -60,11 +60,33 @@ object Bench {
     }
   }
 
+  /** Every opt-in battery armed — the "full modern stack" configuration
+    * the BENCH.md cost table measures against the default
+    * reference-derived rule set.
+    */
+  def fullBatteryConfig: graft.pipeline.QualityPipeline.Config =
+    graft.pipeline.QualityPipeline.defaultConfig.copy(
+      gopherRepetition = true,
+      c4Rules = true,
+      ccnetBoilerplate = true,
+      exactSubstrTokens = 8,
+      modelQualityMin = Some(0.45),
+      simHashNearDupBits = Some(128),
+      urlRules = true,
+      hostDocCap = 5000,
+      decontamPassages = Seq(
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "in a hole in the ground there lived a hobbit not a nasty dirty wet hole",
+        "call me ishmael some years ago never mind how long precisely"))
+
   /** End-to-end keep/drop+scrub throughput on n generated pages. */
-  def pipelineDocsPerSec(spark: SparkSession, n: Long): (Double, Double) = {
+  def pipelineDocsPerSec(spark: SparkSession, n: Long,
+                         cfg: graft.pipeline.QualityPipeline.Config =
+                           graft.pipeline.QualityPipeline.defaultConfig)
+      : (Double, Double) = {
     val (pages, release) = pipelineInput(spark, n)
     val sec = timeIt {
-      val res = graft.pipeline.QualityPipeline.run(pages)
+      val res = graft.pipeline.QualityPipeline.run(pages, cfg)
       // independent sinks submit concurrently (idiomatic: the scheduler
       // interleaves their stages); both read only warm caches and
       // checkpoint leaves at this point, so there is no cold-cache race
@@ -136,13 +158,20 @@ object Bench {
     val pipeRuns = Array.fill(reps)(pipelineDocsPerSec(spark, pipelineN))
       .sortBy(_._2)
     val (docsPerSec, pipeSec) = pipeRuns(reps / 2)
+    // full-battery pipeline (every opt-in armed) — the cost of the whole
+    // modern filter stack relative to the default rule set, same input
+    val fullRuns = Array.fill(reps)(
+      pipelineDocsPerSec(spark, pipelineN, fullBatteryConfig)).sortBy(_._2)
+    val (fullDocsPerSec, fullSec) = fullRuns(reps / 2)
     val (gbpsPost, loadPost) = noiseSample()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 > 0).map(_._2).sum + pipeSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline_docs":$pipelineN,"pipeline_sec":$pipeSec,""" +
-      s""""pipeline_docs_per_sec":$docsPerSec,"reps":$reps,""" +
+      s""""pipeline_docs_per_sec":$docsPerSec,""" +
+      s""""pipeline_full_battery_sec":$fullSec,""" +
+      s""""pipeline_full_battery_docs_per_sec":$fullDocsPerSec,"reps":$reps,""" +
       f""""mem_gbps_1t_pre":$gbpsPre%.2f,"mem_gbps_1t_post":$gbpsPost%.2f,""" +
       s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")

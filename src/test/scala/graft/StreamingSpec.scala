@@ -233,4 +233,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("model-quality rule streams: readStream verdicts equal the batch rule") {
+    // the learned filter is a stateless codegen'd narrow map (weights in
+    // the expression), so it rides readStream unchanged — the "score the
+    // live crawl" production shape
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    val pages = graft.sources.PagesGen.generate(spark, 600, 4).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mq-stream").toString
+    pages.write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = graft.rules.Rules.modelQualityRule(
+        spark.readStream.schema(graft.model.Page.schema).parquet(dir),
+        org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("text"), 0.45)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mq_verdicts").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT url, score FROM mq_verdicts")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val batch = graft.rules.Rules.modelQualityRule(
+        spark.read.parquet(dir),
+        org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("text"), 0.45)
+      .select("url", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
