@@ -847,8 +847,13 @@ object QualityPipeline {
           ev, cfg.decontamN, cfg.decontamMinHits))
       }
     // exact-substring dup likewise reads TEXT from the source pages —
-    // one narrow scan projecting to 8-byte gram hashes, only when on
-    val substrV: Option[DataFrame] =
+    // one narrow scan projecting to 8-byte gram hashes, only when on.
+    // BUILT LAZILY: substrDupStats eagerly materializes + counts the
+    // shared-gram set to pick its join strategy; constructed here it
+    // would run that stage serially on the driver BEFORE v1a's future
+    // starts — deferring construction into the future overlaps it with
+    // the near-dup resolve instead
+    val substrV: () => Option[DataFrame] = () =>
       if (cfg.exactSubstrTokens <= 0) None
       else Some(Rules.exactSubstrDup(pages, col("url"), col("text"),
         cfg.exactSubstrTokens, maxFrac = cfg.maxSubstrDupFrac))
@@ -866,7 +871,7 @@ object QualityPipeline {
       (if (cfg.hostDocCap <= 0) Nil
        else Seq(Rules.hostCap(pages, col("url"), col("url"), cfg.hostDocCap)))
     val v1aF = Future(ph("v1a checkpoint")(
-      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ substrV.toSeq ++ modelV.toSeq ++ urlV).foldLeft(
+      (simHashVerdicts(feat, cfg).toSeq ++ boilerV.toSeq ++ decontamV.toSeq ++ substrV().toSeq ++ modelV.toSeq ++ urlV).foldLeft(
           heuristicVerdicts(feat, cfg).unionByName(exactDupVerdicts(feat, cfg)))(
           _ unionByName _)
         .coalesce(par).localCheckpoint(true)))

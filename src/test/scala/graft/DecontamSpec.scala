@@ -45,6 +45,34 @@ class DecontamSpec extends AnyFunSuite {
     }
   }
 
+  test("GramHash property: random unicode/whitespace text matches composed, n=1..9") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{Decontam, GramHash, TextFns}
+    // deterministic sampling (the ScrubSpec pattern): mixed-script chars,
+    // every Java-regex \s whitespace, empty runs, multi-codepoint text
+    val fragGen: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      1 -> Gen.oneOf("é", "ß", "Ж", "中", "𝄞", "ñ", "Ü"),
+      1 -> Gen.oneOf(".", ",", "|", "-", "@"))
+    val textGen = Gen.chooseNum(0, 80)
+      .flatMap(k => Gen.listOfN(k, fragGen)).map(_.mkString)
+    val texts = (0 until 120).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(9000L + i)))
+    for (n <- Seq(1, 2, 5, 9)) {
+      val df = texts.toDF("text")
+      val composed = df.select(
+        transform(Decontam.wordNgrams(col("text"), n), g => xxhash64(g))
+          .as("hs")).collect().map(r => Option(r.getSeq[Long](0)))
+      val fused = df
+        .withColumn("__toks", TextFns.tokens(lower(col("text"))))
+        .select(GramHash.gramHashes(col("__toks"), n).as("hs"))
+        .collect().map(r => Option(r.getSeq[Long](0)))
+      assert(fused.toSeq == composed.toSeq, s"n=$n")
+    }
+  }
+
   test("contamination: multiset doc-side counting against a distinct eval set") {
     val eval = Decontam.evalGrams(
       Seq("x y z", "p q r").toDF("p"), col("p"), 3)
