@@ -1726,6 +1726,73 @@ object Queries {
       .select(col("word"), size(col("vector")).cast(LongType).as("dim"))
       .orderBy("word")
 
+  /** Fixed, deterministic k=4 centroid set for [[embCluster]] — xorshift
+    * floats in [-1, 1), the [[graft.embed.Ann.hyperplanes]] convention.
+    * Interpolated into the DuckDB twin as float-EXACT double literals
+    * (`f.toDouble.toString` round-trips; printing the float's shortest
+    * string and re-parsing it as a double would drift in the last bits).
+    */
+  private lazy val ClusterCents: Array[Array[Float]] = {
+    var s = 0x243f6a8885a308dL
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    Array.tabulate(4, 64)((_, _) =>
+      (((next() >>> 11) * 1.1102230246251565e-16) * 2 - 1).toFloat)
+  }
+
+  /** Embedding-cluster assignment — the corpus-bucketing step of
+    * cluster-based curation (SemDeDup, Abbas et al. 2023; cluster-
+    * balanced sampling): every vector goes to its nearest-by-cosine
+    * centroid via [[graft.embed.IvfCellsExpr]] (the IVF quantizer run
+    * as a standalone operator, one codegen'd narrow map, centroids in
+    * the expression). Centroids here are FIXED so the DuckDB twin can
+    * replay the argmax exactly; production trains them with
+    * [[graft.embed.Ann.trainCentroids]]. Ties (equal cosines) keep the
+    * lowest cell on both sides (kernel `>` keep-first ≙ SQL `>=` CASE
+    * chain).
+    */
+  val embCluster: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    val cos = ClusterCents.zipWithIndex
+      .map { case (cArr, i) =>
+        (i, graft.embed.Ann.cosine(col("embedding"),
+          array(cArr.map(x => lit(x.toDouble)): _*)))
+      }
+      .foldRight(lit(null).cast(DoubleType): Column) {
+        case ((i, c), acc) => when(col("cell") === i, c).otherwise(acc)
+      }
+    e.select(col("vec_id"),
+        element_at(graft.embed.Ann.ivfCells(
+          col("embedding"), ClusterCents, 1), 1).as("cell"),
+        col("embedding"))
+      // + 0.0 normalizes IEEE negative zero: random-centroid cosines
+      // cluster around 0, DuckDB's round keeps -0.0 where Spark's
+      // BigDecimal round loses the sign — numerically equal, but the
+      // driver hashes the RENDERED value ("-0.0" ≠ "0.0")
+      .select(col("vec_id"), col("cell"),
+        (round(cos, 4) + lit(0.0)).as("cos_r"))
+      .orderBy("vec_id")
+  }
+
+  val embClusterSql: String = {
+    val lits = ClusterCents.map(c =>
+      c.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]"))
+    s"""WITH cents AS (SELECT ${lits.zipWithIndex
+        .map { case (l, i) => s"$l AS c$i" }.mkString(", ")}),
+       |d AS (
+       |  SELECT vec_id,
+       |    list_cosine_similarity(embedding::DOUBLE[], c0) AS s0,
+       |    list_cosine_similarity(embedding::DOUBLE[], c1) AS s1,
+       |    list_cosine_similarity(embedding::DOUBLE[], c2) AS s2,
+       |    list_cosine_similarity(embedding::DOUBLE[], c3) AS s3
+       |  FROM embeddings CROSS JOIN cents)
+       |SELECT vec_id,
+       |  (CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+       |        WHEN s1 >= s2 AND s1 >= s3 THEN 1
+       |        WHEN s2 >= s3 THEN 2 ELSE 3 END)::BIGINT AS cell,
+       |  round(greatest(s0, s1, s2, s3), 4) + 0.0 AS cos_r
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
   /** Model-based quality score ([[graft.functions.QualityModel]] — the
     * fastText-shaped linear classifier over md5-bucketed char trigrams
     * the modern filter stack (CCNet/GPT-3 reference classifiers, DCLM,
@@ -1992,6 +2059,7 @@ object Queries {
     "dq_html_extract" -> dqHtmlExtract,
     "w2v_cells" -> w2vCells,
     "dq_quality_score" -> dqQualityScore,
+    "emb_cluster" -> embCluster,
     "dq_url_rules" -> dqUrlRules,
     "dq_host_cap" -> dqHostCap,
     "dq_quality_buckets" -> dqQualityBuckets,
@@ -2018,6 +2086,7 @@ object Queries {
     "dq_simhash_neardup_wide" -> dqSimHashNearDupWideSql,
     "dq_ngram_jaccard" -> dqNgramJaccardSql,
     "dq_quality_score" -> dqQualityScoreSql,
+    "emb_cluster" -> embClusterSql,
     "dq_completeness" -> dqCompletenessSql,
     "dq_extreme_zscore" -> dqExtremeZscoreSql,
     "dq_group_zscore" -> dqGroupZscoreSql,
