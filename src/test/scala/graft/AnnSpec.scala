@@ -189,6 +189,24 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF cell assignment tie-break: equal cosines keep the LOWEST cell") {
+    // duplicate centroids force an EXACT tie (identical float math, not
+    // an epsilon coincidence) — the argmax must keep the first/lowest
+    // cell, the contract the emb_cluster oracle's >= CASE chain replays
+    val c = Array.tabulate(4)(_.toFloat + 1f)
+    val d = Array.tabulate(4)(i => 4f - i)
+    val cents = Array(c, c.clone(), d, d.clone())
+    val vs = Seq(
+      Seq(1f, 2f, 3f, 4f),   // ties cells 0/1 exactly → 0
+      Seq(4f, 3f, 2f, 1f),   // ties cells 2/3 exactly → 2
+      Seq(1f, 1f, 1f, 1f))
+    val out = vs.toDF("vec")
+      .select(element_at(Ann.ivfCells(col("vec"), cents, 1), 1).as("cell"))
+      .as[Long].collect().toSeq
+    assert(out(0) == 0L && out(1) == 2L, s"tie-break broke: $out")
+    assert(out(2) == 0L || out(2) == 2L) // whichever wins, never the clone
+  }
+
   test("ivfTopK: malformed (dim-mismatched) vectors never join, not even with each other") {
     val k = 16
     val cents = Ann.trainCentroids(corpus20k, "vec", 32, k)
