@@ -30,16 +30,24 @@ object Queries {
   // SQL fragments (DuckDB dialect) mirroring TextFns
   // ======================================================================
   object Frag {
+    /** Whitespace class written EXPLICITLY as the Java-regex `\s` set
+      * `[ \t\n\x0B\f\r]`: the Spark side tokenizes with Java regexes
+      * (`split("\\s+")`, the fused kernels' isWs), whose `\s` INCLUDES
+      * vertical tab — DuckDB's RE2 `\s` does not. Real crawled text
+      * contains U+000B, so a bare `\s` in the twin is a latent
+      * hash-mismatch; the explicit class is identical in both dialects.
+      */
+    val Ws: String = "[ \\t\\n\\x0b\\f\\r]"
     /** whitespace tokens of trimmed text, empties dropped (TextFns.tokens) */
     def toks(c: String): String =
-      s"list_filter(regexp_split_to_array(trim($c), '\\s+'), x -> x <> '')"
+      s"list_filter(regexp_split_to_array(trim($c), '$Ws+'), x -> x <> '')"
     def nWords(c: String): String = s"len(${toks(c)})"
     def norm(c: String): String =
-      s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+      s"regexp_replace(lower(trim($c)), '$Ws+', ' ', 'g')"
     def md5Long(c: String): String =
       s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
     def symbolCount(c: String): String =
-      s"(length($c) - length(regexp_replace($c, '[^A-Za-z0-9\\s]', '', 'g')))"
+      s"(length($c) - length(regexp_replace($c, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')))"
     def sumTokLen(c: String): String =
       s"list_sum(list_transform(${toks(c)}, t -> length(t)))"
     def stopHits(c: String, words: Seq[String]): String = {
@@ -715,7 +723,7 @@ object Queries {
   val dqTokenCountSql: String =
     s"""SELECT doc_id,
        | ${Frag.nWords("text")}::BIGINT AS n_ws_tokens,
-       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpeish_tokens
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::BIGINT AS n_bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val dqFingerprint: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -1470,11 +1478,11 @@ object Queries {
       |lv AS (SELECT doc_id, t3, list_filter(string_split(t3, chr(10)), x -> x <> '') AS ls FROM base)
       |SELECT doc_id,
       |  len(ls)::INT AS n_lines,
-      |  len(regexp_extract_all(t3, '[.!?](\s|$)'))::INT AS n_sentences,
+      |  len(regexp_extract_all(t3, '[.!?]([ \t\n\x0b\f\r]|$)'))::INT AS n_sentences,
       |  round(len(list_filter(ls, x -> substr(x, length(x), 1) IN ('.','!','?','"')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_terminal,
       |  round(len(list_filter(ls, x -> substr(x, 1, 1) IN ('•','-','*')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_start_bullet,
       |  round(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_ellipsis,
-      |  round(len(list_filter(ls, x -> len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) < 5))::DOUBLE / nullif(len(ls), 0), 6) AS frac_short_lines,
+      |  round(len(list_filter(ls, x -> len(list_filter(regexp_split_to_array(trim(x), '[ \t\n\x0b\f\r]+'), w -> w <> '')) < 5))::DOUBLE / nullif(len(ls), 0), 6) AS frac_short_lines,
       |  round(len(list_filter(ls, x -> contains(lower(x), 'javascript')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_js_lines,
       |  contains(lower(t3), 'lorem ipsum') AS has_lorem_ipsum,
       |  contains(t3, '{') AS has_curly_brace
@@ -1887,7 +1895,10 @@ object Queries {
       " || CASE WHEN doc_id % 41 = 0 THEN '/casino-bonus' ELSE '' END" +
       " || CASE WHEN doc_id % 53 = 0 THEN '/' || repeat('x', 2100) ELSE '' END"
 
-  private val UrlHostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+  // single source of truth with UrlFns.host — see HostRe scaladoc
+  // (userinfo skipped, so blocklists/caps can't be bypassed via
+  // https://junk@host/ URLs)
+  private val UrlHostRe = graft.functions.UrlFns.HostRe
 
   /** URL battery features ([[graft.functions.UrlFns]], RefinedWeb §3.1
     * shape): host, length, digit fraction, blocklist membership, adult

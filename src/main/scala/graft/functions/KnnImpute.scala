@@ -167,10 +167,32 @@ final class KnnMeanHeap(val k: Int) {
       }
     }
   }
-  /** Uniform mean of the kept values (exact for integral values). */
+  /** Uniform mean of the kept values, summed in (dist, donor id) order.
+    * The heap-array layout depends on insertion/merge order (partition
+    * layout!), so a raw array-order sum is partition-dependent for
+    * NON-integral values — the selected donor SET is deterministic, but
+    * float addition isn't associative. Sorting the ≤ k kept triples
+    * before summing makes the mean a pure function of the set (k ≤ ~10;
+    * cost is noise). Integral values were exact either way — which is
+    * why the oracle, built on integer features, never caught this.
+    */
   def mean: Double = {
-    var s = 0d; var i = 0
-    while (i < n) { s += v(i); i += 1 }
+    val idx = Array.range(0, n)
+    // insertion sort by (dist, id) — n ≤ k, tiny
+    var i = 1
+    while (i < n) {
+      val key = idx(i)
+      var j = i - 1
+      while (j >= 0 && (d(idx(j)) > d(key) ||
+          (d(idx(j)) == d(key) && id(idx(j)) > id(key)))) {
+        idx(j + 1) = idx(j); j -= 1
+      }
+      idx(j + 1) = key
+      i += 1
+    }
+    var s = 0d
+    i = 0
+    while (i < n) { s += v(idx(i)); i += 1 }
     s / n
   }
 }

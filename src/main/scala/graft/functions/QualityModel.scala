@@ -189,10 +189,15 @@ object QualityModel {
     require(keepRate > 0.0 && keepRate < 1.0,
       s"keepRate must be in (0,1), got $keepRate")
     import org.apache.spark.sql.functions.{lit, percentile_approx}
-    df.select(percentile_approx(
+    val row = df.select(percentile_approx(
         scoreColumn(TextFns.normText(col(textCol)), m),
         lit(1.0 - keepRate), lit(accuracy)).as("t"))
-      .head().getDouble(0)
+      .head()
+    // percentile_approx of an empty/all-null column is NULL — surface a
+    // named error instead of the NPE getDouble would throw
+    require(!row.isNullAt(0),
+      s"thresholdForKeepRate: no non-null '$textCol' values to calibrate on")
+    row.getDouble(0)
   }
 
   // =====================================================================

@@ -22,14 +22,24 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
   */
 object UrlFns {
 
-  /** Hostname of an absolute URL: the authority up to the first `/`,
-    * `:`, `?` or `#`; null when the string has no `scheme://` prefix.
-    * regexp_extract (not `parse_url`) so the DuckDB twin is the SAME
-    * pattern — and it codegens, where parse_url is a non-codegen UDF
-    * shape in some Spark versions.
+  /** Host pattern, shared verbatim with the DuckDB twins (single source
+    * of truth — Java-regex ∩ RE2 subset). The optional `[^/?#]*@` skips
+    * RFC-3986 userinfo: without it `https://x@evil.com/` extracts host
+    * `x@evil.com`, so a blocklist entry or per-host cap is trivially
+    * bypassed by prefixing junk userinfo (the authority's host starts
+    * after the LAST `@`, which the greedy prefix matches). Port and
+    * path/query/fragment are excluded as before.
+    */
+  val HostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)"
+
+  /** Hostname of an absolute URL: the authority (userinfo stripped) up
+    * to the first `/`, `:`, `?` or `#`; null when the string has no
+    * `scheme://` prefix. regexp_extract (not `parse_url`) so the DuckDB
+    * twin is the SAME pattern — and it codegens, where parse_url is a
+    * non-codegen UDF shape in some Spark versions.
     */
   def host(url: Column): Column =
-    nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1), lit(""))
+    nullif(regexp_extract(url, HostRe, 1), lit(""))
 
   /** Fraction of URL characters that are ASCII digits (spam/session-id
     * signal); null on empty/null url.

@@ -829,10 +829,15 @@ object QualityPipeline {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     // CCNet boilerplate reads TEXT (the feature frame carries none), so
-    // it scans the source pages — one extra narrow scan, only when on
+    // it scans the source pages — one extra narrow scan, only when on.
+    // ALL text-reading opt-in rules go through withSourceText: under
+    // cfg.extractHtml the text column is DERIVED from the html payload,
+    // and a rule reading the raw column would judge a different (null or
+    // stale) corpus view than features() and the kept writer do
+    val srcPages = withSourceText(pages, cfg)
     val boilerV: Option[DataFrame] =
       if (!cfg.ccnetBoilerplate) None
-      else Some(Rules.boilerplateParagraphs(pages, col("url"), col("text"),
+      else Some(Rules.boilerplateParagraphs(srcPages, col("url"), col("text"),
         cfg.boilerplateMinDocs, cfg.maxBoilerplateFrac))
     // decontamination likewise reads TEXT from the source pages; the
     // eval side is a tiny broadcast built from the configured passages
@@ -843,7 +848,7 @@ object QualityPipeline {
         import s.implicits._
         val ev = graft.functions.Decontam.evalGrams(
           cfg.decontamPassages.toDF("p"), col("p"), cfg.decontamN)
-        Some(Rules.contaminationRule(pages, col("url"), col("text"),
+        Some(Rules.contaminationRule(srcPages, col("url"), col("text"),
           ev, cfg.decontamN, cfg.decontamMinHits))
       }
     // exact-substring dup likewise reads TEXT from the source pages —
@@ -855,13 +860,13 @@ object QualityPipeline {
     // the near-dup resolve instead
     val substrV: () => Option[DataFrame] = () =>
       if (cfg.exactSubstrTokens <= 0) None
-      else Some(Rules.exactSubstrDup(pages, col("url"), col("text"),
+      else Some(Rules.exactSubstrDup(srcPages, col("url"), col("text"),
         cfg.exactSubstrTokens, maxFrac = cfg.maxSubstrDupFrac))
     // model-based quality score likewise reads TEXT — one codegen'd
     // narrow map on the source scan, only when on
     val modelV: Option[DataFrame] =
       cfg.modelQualityMin.map(theta =>
-        Rules.modelQualityRule(pages, col("url"), col("text"), theta))
+        Rules.modelQualityRule(srcPages, col("url"), col("text"), theta))
     // URL rules read only the key column; host cap adds one bounded-heap
     // groupBy on host — both off by default
     val urlV: Seq[DataFrame] =

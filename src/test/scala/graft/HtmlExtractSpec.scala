@@ -80,4 +80,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(keptSet(a) == keptSet(b))
     a.bag.release(); b.bag.release(); pages.unpersist()
   }
+
+  test("extractHtml + text-reading opt-in rules: rules judge the DERIVED text") {
+    // regression: the opt-in text rules (model quality, decontam, substr,
+    // boilerplate) used to read the RAW text column — under extractHtml
+    // with a null/stale text column they scored nothing while the
+    // heuristics judged the extracted text (two corpus views in one run)
+    import org.apache.spark.sql.functions.{col, lit}
+    val pages = graft.sources.PagesGen.generate(spark, 400, 4).toDF()
+    val htmlOnly = pages.withColumn("text", lit(null).cast("string"))
+    val cfg = QualityPipeline.defaultConfig.copy(modelQualityMin = Some(0.45))
+    val a = QualityPipeline.run(pages, cfg)
+    val b = QualityPipeline.run(htmlOnly, cfg.copy(extractHtml = true))
+    def mq(r: QualityPipeline.Result) =
+      r.verdicts.filter(col("rule") === "model_quality")
+        .select("url").as[String].collect().toSet
+    val (ma, mb) = (mq(a), mq(b))
+    a.bag.release(); b.bag.release()
+    assert(ma.nonEmpty, "fixture must trip the model rule for the test to bite")
+    assert(ma == mb)
+  }
 }

@@ -90,4 +90,21 @@ class KnnImputeSpec extends AnyFunSuite {
     val c = cells(df.coalesce(1), k = 10)
     assert(a.nonEmpty && a == b && b == c)
   }
+
+  test("partition-independent for FRACTIONAL values (heap mean sums in sorted order)") {
+    // float addition isn't associative: with non-integral payloads the
+    // mean over the k donors must not depend on the heap-array layout
+    // left behind by insertion/merge order — the mean sorts by
+    // (dist, donor id) before summing
+    val rows = (0L until 240L).map { i =>
+      (i,
+       if (i % 11 == 3) None else Some((i * 7 % 101).toDouble / 7.0 + 0.1),
+       if (i % 13 == 5) None else Some((i * 5 % 97).toDouble / 3.0 + 0.2))
+    }
+    val df = rows.toDF("id", "f1", "f2")
+    val a = cells(df.repartition(2), k = 10)
+    val b = cells(df.repartition(5), k = 10)
+    val c = cells(df.coalesce(1), k = 10)
+    assert(a.nonEmpty && a == b && b == c)
+  }
 }
