@@ -37,7 +37,11 @@ object Queries {
       * contains U+000B, so a bare `\s` in the twin is a latent
       * hash-mismatch; the explicit class is identical in both dialects.
       */
-    val Ws: String = "[ \\t\\n\\x0b\\f\\r]"
+    /** The class BODY (single source of truth — every negated class
+      * below derives from it; a hand-spelled copy is exactly the drift
+      * this constant exists to prevent). */
+    val WsChars: String = " \\t\\n\\x0b\\f\\r"
+    val Ws: String = s"[$WsChars]"
     /** whitespace tokens of trimmed text, empties dropped (TextFns.tokens) */
     def toks(c: String): String =
       s"list_filter(regexp_split_to_array(trim($c), '$Ws+'), x -> x <> '')"
@@ -47,7 +51,7 @@ object Queries {
     def md5Long(c: String): String =
       s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
     def symbolCount(c: String): String =
-      s"(length($c) - length(regexp_replace($c, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')))"
+      s"(length($c) - length(regexp_replace($c, '[^A-Za-z0-9$WsChars]', '', 'g')))"
     def sumTokLen(c: String): String =
       s"list_sum(list_transform(${toks(c)}, t -> length(t)))"
     def stopHits(c: String, words: Seq[String]): String = {
@@ -723,7 +727,7 @@ object Queries {
   val dqTokenCountSql: String =
     s"""SELECT doc_id,
        | ${Frag.nWords("text")}::BIGINT AS n_ws_tokens,
-       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::BIGINT AS n_bpeish_tokens
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${Frag.WsChars}]'))::BIGINT AS n_bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val dqFingerprint: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -1460,8 +1464,11 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // s-interpolated so the whitespace classes come from Frag.Ws (the
+  // literal parts contain no backslash escapes — the interpolator's
+  // escape processing would corrupt a hand-spelled \x0b)
   val dqC4LinesSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id,
       |    substr(text, 1, CAST(50 + doc_id % 60 AS INT)) || '. Second sentence! Third one? '
       |      || repeat('Go. ', CAST(doc_id % 4 AS INT))
@@ -1478,11 +1485,11 @@ object Queries {
       |lv AS (SELECT doc_id, t3, list_filter(string_split(t3, chr(10)), x -> x <> '') AS ls FROM base)
       |SELECT doc_id,
       |  len(ls)::INT AS n_lines,
-      |  len(regexp_extract_all(t3, '[.!?]([ \t\n\x0b\f\r]|$)'))::INT AS n_sentences,
+      |  len(regexp_extract_all(t3, '[.!?](${Frag.Ws}|$$)'))::INT AS n_sentences,
       |  round(len(list_filter(ls, x -> substr(x, length(x), 1) IN ('.','!','?','"')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_terminal,
       |  round(len(list_filter(ls, x -> substr(x, 1, 1) IN ('•','-','*')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_start_bullet,
       |  round(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_lines_end_ellipsis,
-      |  round(len(list_filter(ls, x -> len(list_filter(regexp_split_to_array(trim(x), '[ \t\n\x0b\f\r]+'), w -> w <> '')) < 5))::DOUBLE / nullif(len(ls), 0), 6) AS frac_short_lines,
+      |  round(len(list_filter(ls, x -> len(list_filter(regexp_split_to_array(trim(x), '${Frag.Ws}+'), w -> w <> '')) < 5))::DOUBLE / nullif(len(ls), 0), 6) AS frac_short_lines,
       |  round(len(list_filter(ls, x -> contains(lower(x), 'javascript')))::DOUBLE / nullif(len(ls), 0), 6) AS frac_js_lines,
       |  contains(lower(t3), 'lorem ipsum') AS has_lorem_ipsum,
       |  contains(t3, '{') AS has_curly_brace
@@ -1759,11 +1766,31 @@ object Queries {
     * chain).
     */
   val embCluster: (SparkSession, String) => DataFrame = (s, dir) => {
+    val dim = ClusterCents(0).length
+    // Planted edge rows (negative vec_id, disjoint from the fixture's
+    // non-negative ids) so the oracle exercises the guard branches, not
+    // just clean vectors: a zero vector (zero-norm cosine reads -1.0 —
+    // the kernel's cosineOf guard AND DuckDB's list_cosine_similarity
+    // agree — all four cells tie, keep-first ⇒ cell 0), a NULL embedding
+    // (cell NULL), and a dim-mismatched vector (kernel sentinel cell -1).
+    val planted = s.range(1).select(
+        lit(-1L).as("vec_id"), array_repeat(lit(0.0f), dim).as("embedding"))
+      .unionByName(s.range(1).select(lit(-2L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+      .unionByName(s.range(1).select(lit(-3L).as("vec_id"),
+        array(lit(1.0f)).as("embedding")))
     val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(planted)
+    // zero-norm guard mirroring the kernel's cosineOf (and DuckDB): a
+    // zero vector reads -1.0, not the unguarded 0/0 = NaN
+    val n2 = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType))
     val cos = ClusterCents.zipWithIndex
       .map { case (cArr, i) =>
-        (i, graft.embed.Ann.cosine(col("embedding"),
-          array(cArr.map(x => lit(x.toDouble)): _*)))
+        (i, when(n2 === 0.0, lit(-1.0))
+          .otherwise(graft.embed.Ann.cosine(col("embedding"),
+            array(cArr.map(x => lit(x.toDouble)): _*))))
       }
       .foldRight(lit(null).cast(DoubleType): Column) {
         case ((i, c), acc) => when(col("cell") === i, c).otherwise(acc)
@@ -1782,19 +1809,34 @@ object Queries {
   }
 
   val embClusterSql: String = {
+    val dim = ClusterCents(0).length
     val lits = ClusterCents.map(c =>
       c.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]"))
+    val zeroLit = List.fill(dim)("0.0").mkString("[", ", ", "]")
+    // guards mirror the Spark side exactly: the len(...) = dim CASE keeps
+    // DuckDB's list_cosine_similarity off malformed rows (it hard-errors
+    // on unequal dims; CASE branches evaluate lazily), NULL embeddings
+    // yield cell NULL (the unguarded CASE chain would fall to ELSE 3),
+    // and a zero vector reads cosine -1.0 in both engines
     s"""WITH cents AS (SELECT ${lits.zipWithIndex
         .map { case (l, i) => s"$l AS c$i" }.mkString(", ")}),
+       |emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT * FROM (VALUES
+       |    ((-1)::BIGINT, $zeroLit::FLOAT[]),
+       |    ((-2)::BIGINT, NULL::FLOAT[]),
+       |    ((-3)::BIGINT, [1.0]::FLOAT[])) v(vec_id, embedding)),
        |d AS (
-       |  SELECT vec_id,
-       |    list_cosine_similarity(embedding::DOUBLE[], c0) AS s0,
-       |    list_cosine_similarity(embedding::DOUBLE[], c1) AS s1,
-       |    list_cosine_similarity(embedding::DOUBLE[], c2) AS s2,
-       |    list_cosine_similarity(embedding::DOUBLE[], c3) AS s3
-       |  FROM embeddings CROSS JOIN cents)
+       |  SELECT vec_id, len(embedding) AS elen,
+       |    CASE WHEN len(embedding) = $dim THEN list_cosine_similarity(embedding::DOUBLE[], c0) END AS s0,
+       |    CASE WHEN len(embedding) = $dim THEN list_cosine_similarity(embedding::DOUBLE[], c1) END AS s1,
+       |    CASE WHEN len(embedding) = $dim THEN list_cosine_similarity(embedding::DOUBLE[], c2) END AS s2,
+       |    CASE WHEN len(embedding) = $dim THEN list_cosine_similarity(embedding::DOUBLE[], c3) END AS s3
+       |  FROM emb CROSS JOIN cents)
        |SELECT vec_id,
-       |  (CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+       |  (CASE WHEN elen IS NULL THEN NULL
+       |        WHEN elen <> $dim THEN -1
+       |        WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
        |        WHEN s1 >= s2 AND s1 >= s3 THEN 1
        |        WHEN s2 >= s3 THEN 2 ELSE 3 END)::BIGINT AS cell,
        |  round(greatest(s0, s1, s2, s3), 4) + 0.0 AS cos_r
