@@ -249,4 +249,19 @@ class AnnSpec extends AnyFunSuite {
     info(f"clustered LSH recall@10 = $recall%.3f (nBits=$nBits, 12 tables, multiprobe)")
     assert(recall >= 0.6, f"clustered recall $recall%.3f below 0.6")
   }
+
+  test("embCluster degenerate vectors: zero → (cell 0, cos -1.0), NULL → (NULL, NULL), wrong dim → (-1, NULL)") {
+    // the rows the query plants itself (negative vec_id); the DuckDB twin
+    // replays the same guards — this pins the Spark half independently
+    val out = Queries.embCluster(spark, dir)
+      .filter(col("vec_id") < 0).orderBy("vec_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byId(-1L) == (Some(0L), Some(-1.0)),
+      s"zero vector: ${byId(-1L)} (zero-norm cosine must read -1.0, keep-first cell 0)")
+    assert(byId(-2L) == (None, None), s"NULL embedding: ${byId(-2L)}")
+    assert(byId(-3L) == (Some(-1L), None),
+      s"dim-mismatched vector: ${byId(-3L)} (kernel sentinel cell -1)")
+  }
 }
