@@ -1666,17 +1666,18 @@ object Queries {
     * sklearn leaves equal-distance order unspecified.
     */
   val dqKnnImpute: (SparkSession, String) => DataFrame = (s, dir) => {
-    val toks = graft.functions.TextFns.tokens(col("text"))
+    // fused token features (wordCountFast == size(tokens),
+    // sumTokLenFast == aggregate(tokens, 0L, acc + length(t)) —
+    // TextFnsSpec pins both equalities): the interpreted
+    // split/filter/aggregate HOF chain drops out of the feature scan
     val base = docs(s, dir)
-      .withColumn("__toks", toks) // staged: HOF lambdas re-eval inline subtrees
       .select(col("doc_id"),
         when(col("doc_id") % 37 === 3, lit(null))
           .otherwise(col("n_chars")).cast(DoubleType).as("f1"),
         when(col("doc_id") % 41 === 5, lit(null))
-          .otherwise(size(col("__toks"))).cast(DoubleType).as("f2"),
+          .otherwise(TextFns.wordCountFast(col("text"))).cast(DoubleType).as("f2"),
         when(col("doc_id") % 43 === 7, lit(null))
-          .otherwise(aggregate(col("__toks"), lit(0L),
-            (acc, t) => acc + length(t).cast(LongType)))
+          .otherwise(TextFns.sumTokLenFast(col("text")))
           .cast(DoubleType).as("f3"))
     graft.functions.KnnImpute
       .imputeCells(base, col("doc_id"), Seq("f1", "f2", "f3"), k = 10)

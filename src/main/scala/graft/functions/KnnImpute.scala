@@ -28,19 +28,28 @@ import org.apache.spark.sql.catalyst.trees.TernaryLike
   *    distances it equals sklearn exactly.
   *
   * Scale shape (the reason this is not a crossJoin-and-Window):
-  *  - receivers (rows with ≥ 1 missing value) are BROADCAST — web-scale
-  *    missingness on derived features is a small fraction, and the
-  *    candidate pass is then ONE narrow scan of the donors: a
-  *    BroadcastNestedLoopJoin, O(n · r) work with zero corpus shuffle,
-  *    the [[graft.embed.Ann.bruteForceTopK]] relationship (the exact
+  *  - receivers (rows with ≥ 1 missing value) are few — web-scale
+  *    missingness on derived features is a small fraction — so they are
+  *    fetched once under a named-error count gate ([[MaxReceivers]])
+  *    and shipped INSIDE one [[KnnExactAll]] aggregate. The candidate
+  *    pass is then ONE narrow scan of the donors: O(n · r) distance
+  *    work against an in-memory receiver array, zero corpus shuffle,
+  *    zero join/row machinery per pair, the
+  *    [[graft.embed.Ann.bruteForceTopK]] relationship (the exact
   *    baseline; an IVF-bucketed variant is the scale path when r
   *    explodes — see `Ann.ivfTopK`'s cell-probe pattern).
-  *  - top-k per (receiver, column) via [[KnnMeanK]], a
-  *    `TypedImperativeAggregate` whose buffer is a BOUNDED max-heap of
-  *    k (dist, donor, value) triples — map-side partials carry ≤ k
-  *    triples per group per partition whatever the donor count, the
-  *    `UrlFns.kthSmallest` shape (never `collect_list` + sort: that
-  *    materialises every donor in one buffer).
+  *  - top-k per (receiver, column) via [[KnnMeanHeap]]: the aggregation
+  *    buffer is a BOUNDED max-heap of k (dist, donor, value) triples
+  *    per missing cell — map-side partials carry ≤ k triples per cell
+  *    per partition whatever the donor count, the `UrlFns.kthSmallest`
+  *    shape (never `collect_list` + sort: that materialises every donor
+  *    in one buffer). The per-(dist, donor key)-group [[KnnMeanK]]
+  *    aggregate remains as the composable single-group primitive.
+  *  - the previous formulation (broadcast-NLJ pair stream → broadcast
+  *    miss join → per-pair map build → ObjectHashAggregate) computed
+  *    the same numbers through ~4 jobs and an n·r-row intermediate;
+  *    the fused aggregate is 2 jobs (receiver fetch + scan) and was
+  *    measured ~5× faster at the oracle scale (OPTIMIZATION_r06.md).
   *
   * Exact-arithmetic note (oracle parity): with integer-valued features
   * every squared diff, partial sum and `· n_features / n_shared`
@@ -64,59 +73,105 @@ object KnnImpute {
       KnnMeanK(GraftExpr.expr(dist), GraftExpr.expr(donorKey),
         GraftExpr.expr(value), k).toAggregateExpression())
 
+  /** Receiver-count gate for [[imputeCells]]: every partition's
+    * aggregation buffer holds one bounded k-heap per missing cell
+    * (≤ k·24 B each) and the receiver table itself is shipped inside the
+    * aggregate expression — both are O(receivers). 200k receivers ×
+    * k=10 ≈ 50 MB/task buffer at one missing cell each; past that the
+    * exact O(n·r) all-pairs pass is the wrong algorithm anyway (the
+    * IVF cell-probe shape of [[graft.embed.Ann.ivfTopK]] is the scale
+    * path), so the gate fails with a named error instead of an OOM —
+    * the same contract as nearDupResolve's maxDriverEdges and
+    * ExactSubstr's broadcast gate.
+    */
+  val MaxReceivers: Int = 200000
+
   /** One row per missing cell: (__k, col, imputed) — `imputed` rounded
     * to 6 dp. `key` must be LONG (the deterministic tie-break).
     * `features` are numeric columns (cast to double internally).
+    *
+    * Plan shape: ONE narrow donor scan. The receiver rows (those with
+    * ≥ 1 missing value) are collected under [[MaxReceivers]] and shipped
+    * inside a single [[KnnExactAll]] aggregate whose buffer keeps a
+    * bounded (dist, donor, value) k-heap per missing cell — O(n·r)
+    * distance work with zero shuffle and zero join machinery. The
+    * column-mean fallback rides the same buffer (per-column sum/count),
+    * so the whole operator is TWO jobs: the receiver fetch and the
+    * aggregate. Arithmetic is performed in the exact order of the
+    * previous join formulation (feature-order left-fold of the squared
+    * diffs, then `· n_features / n_shared`), so results are
+    * bit-identical — KnnImputeSpec pins hand-computed values,
+    * tie-breaks, fallbacks and partition-independence.
     */
   def imputeCells(df: DataFrame, key: Column, features: Seq[String],
                   k: Int = 10): DataFrame = {
     require(features.nonEmpty, "need at least one feature column")
     require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
     val f = df.select(
       key.cast(LongType).as("__k") +:
         features.map(c => col(c).cast(DoubleType).as(c)): _*)
-    val recv = f.filter(features.map(col(_).isNull).reduce(_ || _))
-      .select(col("__k").as("__rk") +:
-        features.map(c => col(c).as(s"__r_$c")): _*)
-    val miss = recv.select(col("__rk"), explode(filter(
-      array(features.map(c =>
-        when(col(s"__r_$c").isNull, lit(c))): _*),
-      x => x.isNotNull)).as("__c"))
-    // observed column means — the no-donor fallback (tiny scalar agg)
-    val meansRow = f.agg(
-      avg(col(features.head)).as(features.head),
-      features.tail.map(c => avg(col(c)).as(c)): _*).head()
-    val meansMap = map(features.flatMap(c => Seq(lit(c),
-      lit(if (meansRow.isNullAt(meansRow.fieldIndex(c))) null
-          else meansRow.getDouble(meansRow.fieldIndex(c))))): _*)
-    val nShared = features.map(c =>
-      when(col(c).isNotNull && col(s"__r_$c").isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    val sqSum = features.map(c =>
-      when(col(c).isNotNull && col(s"__r_$c").isNotNull,
-        (col(c) - col(s"__r_$c")) * (col(c) - col(s"__r_$c")))
-        .otherwise(lit(0d))).reduce(_ + _)
-    val valueByName = element_at(
-      map(features.flatMap(c => Seq(lit(c), col(c))): _*), col("__c"))
-    val knn = f.crossJoin(broadcast(recv))
-      .filter(col("__k") =!= col("__rk"))
-      .withColumn("__ns", nShared).withColumn("__ss", sqSum)
-      .filter(col("__ns") > 0)
-      .join(broadcast(miss), Seq("__rk"))
-      .withColumn("__val", valueByName)
-      .filter(col("__val").isNotNull)
-      .withColumn("__wd",
-        col("__ss") * lit(features.size.toDouble) / col("__ns"))
-      .groupBy("__rk", "__c")
-      .agg(knnMean(col("__wd"), col("__k"), col("__val"), k).as("__knn"))
-    miss.join(knn, Seq("__rk", "__c"), "left")
-      .select(col("__rk").as("__k"), col("__c").as("col"),
-        round(coalesce(col("__knn"), element_at(meansMap, col("__c"))), 6)
-          .as("imputed"))
+    val recvRows = f.filter(features.map(col(_).isNull).reduce(_ || _))
+      .limit(MaxReceivers + 1).collect()
+    if (recvRows.length > MaxReceivers)
+      throw new IllegalArgumentException(
+        s"knn_impute: more than $MaxReceivers rows have missing feature " +
+          "values; the exact all-pairs kNN pass is O(donors x receivers) " +
+          "and its per-task heap state is O(receivers). Pre-bucket donors " +
+          "and receivers (the Ann.ivfTopK cell-probe pattern) or impute " +
+          "per partition instead.")
+    val nf = features.length
+    // driver-side receiver table, sorted by (key-null-last, key) so the
+    // expression is identical whatever order limit+collect returned
+    val sorted = recvRows.sortBy(r =>
+      (r.isNullAt(0), if (r.isNullAt(0)) 0L else r.getLong(0)))
+    val rKeys = new Array[Long](sorted.length)
+    val rKeyNull = new Array[Boolean](sorted.length)
+    val rVals = new Array[Double](sorted.length * nf)
+    val rMask = new Array[Boolean](sorted.length * nf)
+    val missStart = new Array[Int](sorted.length + 1)
+    val missColB = Array.newBuilder[Int]
+    var i = 0
+    var cells = 0
+    while (i < sorted.length) {
+      val r = sorted(i)
+      rKeyNull(i) = r.isNullAt(0)
+      rKeys(i) = if (rKeyNull(i)) 0L else r.getLong(0)
+      missStart(i) = cells
+      var c = 0
+      while (c < nf) {
+        if (r.isNullAt(c + 1)) { missColB += c; cells += 1 }
+        else { rVals(i * nf + c) = r.getDouble(c + 1); rMask(i * nf + c) = true }
+        c += 1
+      }
+      i += 1
+    }
+    missStart(sorted.length) = cells
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("__k", LongType, nullable = true),
+      StructField("col", StringType, nullable = false),
+      StructField("imputed", DoubleType, nullable = true)))
+    if (cells == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val recv = KnnReceivers(rKeys, rKeyNull, rVals, rMask, missStart,
+      missColB.result(), features.toArray)
+    val agg = GraftExpr.column(KnnExactAll(
+      GraftExpr.expr(col("__k")) +: features.map(c => GraftExpr.expr(col(c))),
+      recv, k).toAggregateExpression())
+    f.agg(agg.as("__cells"))
+      .select(explode(col("__cells")).as("__c"))
+      .select(col("__c.__k").as("__k"), col("__c.col").as("col"),
+        round(col("__c.imputed"), 6).as("imputed"))
   }
 
   /** The sklearn return shape: the input frame with every missing
     * feature cell filled (6-dp). Non-feature columns pass through.
+    * The patch broadcast is bounded by construction: imputeCells emits
+    * ≤ one row per missing cell of ≤ [[MaxReceivers]] receivers (the
+    * named-error gate), so the broadcast build can never exceed
+    * receivers × features rows.
     */
   def impute(df: DataFrame, key: Column, features: Seq[String],
              k: Int = 10): DataFrame = {
@@ -255,4 +310,205 @@ case class KnnMeanK(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): KnnMeanK =
     copy(first = f, second = s, third = t)
+}
+
+/** Driver-built receiver table shipped inside [[KnnExactAll]] (bounded
+  * by [[KnnImpute.MaxReceivers]]): flattened (key, feature values,
+  * present mask) plus each receiver's missing-column index list
+  * (CSR layout: cell i of receiver r lives at missStart(r) ≤ i <
+  * missStart(r+1), missCol(i) = feature index).
+  */
+final case class KnnReceivers(
+    keys: Array[Long], keyNull: Array[Boolean],
+    vals: Array[Double], mask: Array[Boolean],
+    missStart: Array[Int], missCol: Array[Int],
+    colNames: Array[String]) {
+  def nRecv: Int = keys.length
+  def nCells: Int = missCol.length
+  def nf: Int = colNames.length
+}
+
+/** Buffer of [[KnnExactAll]]: one bounded k-heap per missing cell plus
+  * per-feature (sum, count) for the observed-column-mean fallback.
+  * `sv`/`sm` are per-row evaluation scratch (not merged, not serialized).
+  */
+final class KnnExactBuf(k: Int, nCells: Int, nf: Int) {
+  val heaps: Array[KnnMeanHeap] = Array.fill(nCells)(new KnnMeanHeap(k))
+  val colSum = new Array[Double](nf)
+  val colCnt = new Array[Long](nf)
+  val sv = new Array[Double](nf)
+  val sm = new Array[Boolean](nf)
+}
+
+/** Exact kNN imputation over ALL receivers in one pass — see
+  * [[KnnImpute.imputeCells]]. Children are (key, feature...) of the
+  * donor scan; the receiver table arrives as constructor data. Output:
+  * array of (__k, col, imputed) structs, one per missing cell, in
+  * receiver-table order. Distance arithmetic replicates the Column
+  * formulation exactly: feature-order left-fold of the shared squared
+  * diffs, `· n_features / n_shared` as (ss · nf) / ns, heap mean summed
+  * in (dist, donor id) order — bit-identical doubles.
+  */
+case class KnnExactAll(
+    children: Seq[Expression], recv: KnnReceivers, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KnnExactBuf] {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val nf = recv.nf
+  private val nfD = nf.toDouble
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("__k", LongType, nullable = true),
+    StructField("col", StringType, nullable = false),
+    StructField("imputed", DoubleType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "knn_exact_all"
+
+  override def createAggregationBuffer(): KnnExactBuf =
+    new KnnExactBuf(k, recv.nCells, nf)
+
+  override def update(buf: KnnExactBuf, input: InternalRow): KnnExactBuf = {
+    val keyE = children.head.eval(input)
+    var c = 0
+    while (c < nf) {
+      val v = children(c + 1).eval(input)
+      if (v == null) buf.sm(c) = false
+      else {
+        val d = v.asInstanceOf[Double]
+        buf.sm(c) = true
+        buf.sv(c) = d
+        // observed-column mean accumulates over EVERY row (receivers and
+        // null-key rows included) — the avg(f) semantics of the fallback
+        buf.colSum(c) += d
+        buf.colCnt(c) += 1
+      }
+      c += 1
+    }
+    if (keyE == null) return buf // null donor key: __k =!= __rk is null
+    val rowKey = keyE.asInstanceOf[Long]
+    val sv = buf.sv
+    val sm = buf.sm
+    var r = 0
+    while (r < recv.nRecv) {
+      // null-key receivers never collect donors (null-safe filter
+      // semantics of the join formulation); their cells fall back
+      if (!recv.keyNull(r) && recv.keys(r) != rowKey) {
+        val base = r * nf
+        var ns = 0
+        var ss = 0.0
+        c = 0
+        while (c < nf) {
+          if (sm(c) && recv.mask(base + c)) {
+            ns += 1
+            val d = sv(c) - recv.vals(base + c)
+            ss += d * d
+          }
+          c += 1
+        }
+        if (ns > 0) {
+          val wd = ss * nfD / ns
+          var cell = recv.missStart(r)
+          val end = recv.missStart(r + 1)
+          while (cell < end) {
+            val mc = recv.missCol(cell)
+            if (sm(mc)) buf.heaps(cell).offer(wd, rowKey, sv(mc))
+            cell += 1
+          }
+        }
+      }
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(buf: KnnExactBuf, other: KnnExactBuf): KnnExactBuf = {
+    var c = 0
+    while (c < nf) {
+      buf.colSum(c) += other.colSum(c)
+      buf.colCnt(c) += other.colCnt(c)
+      c += 1
+    }
+    var cell = 0
+    while (cell < recv.nCells) {
+      val h = other.heaps(cell)
+      val t = buf.heaps(cell)
+      var i = 0
+      while (i < h.n) { t.offer(h.d(i), h.id(i), h.v(i)); i += 1 }
+      cell += 1
+    }
+    buf
+  }
+
+  override def eval(buf: KnnExactBuf): Any = {
+    val out = new Array[Any](recv.nCells)
+    var r = 0
+    while (r < recv.nRecv) {
+      val key: Any = if (recv.keyNull(r)) null else recv.keys(r)
+      var cell = recv.missStart(r)
+      val end = recv.missStart(r + 1)
+      while (cell < end) {
+        val mc = recv.missCol(cell)
+        val h = buf.heaps(cell)
+        val imputed: Any =
+          if (h.n > 0) h.mean
+          else if (buf.colCnt(mc) > 0) buf.colSum(mc) / buf.colCnt(mc)
+          else null
+        out(cell) = InternalRow(key,
+          UTF8String.fromString(recv.colNames(mc)), imputed)
+        cell += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KnnExactBuf): Array[Byte] = {
+    var bytes = 4 + nf * 16
+    var cell = 0
+    while (cell < recv.nCells) { bytes += 4 + 24 * buf.heaps(cell).n; cell += 1 }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(recv.nCells)
+    var c = 0
+    while (c < nf) { bb.putDouble(buf.colSum(c)); bb.putLong(buf.colCnt(c)); c += 1 }
+    cell = 0
+    while (cell < recv.nCells) {
+      val h = buf.heaps(cell)
+      bb.putInt(h.n)
+      var i = 0
+      while (i < h.n) {
+        bb.putDouble(h.d(i)); bb.putLong(h.id(i)); bb.putDouble(h.v(i))
+        i += 1
+      }
+      cell += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KnnExactBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new KnnExactBuf(k, recv.nCells, nf)
+    val nCells = bb.getInt()
+    var c = 0
+    while (c < nf) { buf.colSum(c) = bb.getDouble(); buf.colCnt(c) = bb.getLong(); c += 1 }
+    var cell = 0
+    while (cell < nCells) {
+      var n = bb.getInt()
+      val h = buf.heaps(cell)
+      while (n > 0) { h.offer(bb.getDouble(), bb.getLong(), bb.getDouble()); n -= 1 }
+      cell += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KnnExactAll =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KnnExactAll =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KnnExactAll =
+    copy(children = newChildren)
 }

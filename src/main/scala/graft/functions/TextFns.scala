@@ -49,6 +49,16 @@ object TextFns {
   def wordCountFast(c: Column): Column =
     GraftExpr.column(WordCountExpr(GraftExpr.expr(c)))
 
+  /** Fused sum of token lengths in code points — identical value to
+    * `aggregate(tokens(c), 0L, (acc, t) => acc + length(t))`: every
+    * non-whitespace code point belongs to exactly one token, so the sum
+    * is the count of non-whitespace code points (TextFnsSpec pins
+    * equality incl. non-ASCII and null/empty inputs). Removes the
+    * interpreted split/filter/aggregate HOF chain from hot paths.
+    */
+  def sumTokLenFast(c: Column): Column =
+    GraftExpr.column(TokenLenSumExpr(GraftExpr.expr(c)))
+
   /** Character count of the raw string. */
   def charLen(c: Column): Column = length(c)
 
@@ -146,5 +156,37 @@ case class WordCountExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
   }
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): WordCountExpr =
+    copy(child = newChild)
+}
+
+/** Sum of whitespace-token lengths in CODE POINTS over UTF-8 bytes =
+  * count of non-whitespace code points (see [[TextFns.sumTokLenFast]]).
+  * UTF-8 continuation bytes (10xxxxxx) are skipped so a multi-byte
+  * code point counts once; delimiter bytes are ASCII, so they can never
+  * appear inside a multi-byte sequence.
+  */
+case class TokenLenSumExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xC0) != 0x80 && !(c >= 0 && isWs(c))) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): TokenLenSumExpr =
     copy(child = newChild)
 }

@@ -26,6 +26,29 @@ class TextFnsSpec extends AnyFunSuite {
     assert(one[Double](TextFns.meanWordLen(col("t")), "ab abcd") == 3.0)
   }
 
+  test("sumTokLenFast/wordCountFast equal the HOF formulations (incl. non-ASCII, ws classes, null)") {
+    import org.apache.spark.sql.types.LongType
+    val hof = (c: org.apache.spark.sql.Column) =>
+      aggregate(TextFns.tokens(c), lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val cases = Seq(
+      "one two three", "", "  ", "\t\na bc\f d\r", "héllo wörld",
+      "emoji 😀 pair", "日本語 テスト", " trailing  ", "x",
+      "a\u000Bb", "mixed  \t tabs\nand lines \f ff", "vt\u000Bsplit")
+    val df = cases.toDF("t")
+    val got = df.select(
+      hof(col("t")).as("h"), TextFns.sumTokLenFast(col("t")).as("f"),
+      TextFns.wordCount(col("t")).as("wc"), TextFns.wordCountFast(col("t")).as("wcf"))
+      .collect()
+    got.zip(cases).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"sumTokLen mismatch on '$s'")
+      assert(r.getInt(2) == r.getInt(3), s"wordCount mismatch on '$s'")
+    }
+    // null input → null on both sides
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(hof(col("t")).as("h"), TextFns.sumTokLenFast(col("t")).as("f")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("stopwordRatio counts case-insensitive stopword hits") {
     // "The cat of doom" → the, of = 2/4
     assert(one[Double](TextFns.stopwordRatio(col("t")), "The cat of doom") == 0.5)
