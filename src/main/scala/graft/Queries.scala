@@ -223,7 +223,13 @@ object Queries {
     // the normalised fingerprint would flag case/whitespace variants the
     // oracle doesn't. Null-safe join: pandas/DuckDB group NaN/NULL texts
     // together (NaN==NaN in `duplicated()`), so null hashes must too.
-    val hashed = aug.withColumn("__h", TextFns.md5Long(col("text")))
+    // project to (doc_id, hash) BEFORE everything (guide: shuffle keys,
+    // not payloads) and materialise once — the frame feeds both the
+    // group aggregate and the join-back probe; left lazy each side
+    // re-runs the md5 over the full text union
+    val hashed = aug
+      .select(col("doc_id"), TextFns.md5Long(col("text")).as("__h"))
+      .localCheckpoint(true)
     val groups = hashed.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -309,8 +315,16 @@ object Queries {
     * documents in the fixture guarantee Hamming-0 pairs (rows > 0).
     */
   val dqSimHashNearDup: (SparkSession, String) => DataFrame = (s, dir) => {
+    // materialised once (eager localCheckpoint): the banding rule
+    // references its input frame from the chunk explode, both pair-join
+    // sides and the survivor aggregate — left lazy, each reference
+    // re-runs the md5 simhash kernel over the corpus (the executed plan
+    // held 21 scans / 21 kernel evaluations,
+    // plans/r06/dq_simhash_neardup_before.txt). In the pipeline the
+    // input is the cached feature frame, so this is query-local.
     val sh = docs(s, dir).select(col("doc_id"),
       graft.functions.Md5SimHash.md5SimHash(col("text"), 60).as("sh"))
+      .localCheckpoint(true)
     graft.rules.Rules.simHashNearDup(sh, col("doc_id"), col("sh"),
         maxHamming = 3, bits = 60)
       .select(col("url").cast(LongType).as("doc_id"), col("rule"),
@@ -354,9 +368,12 @@ object Queries {
     * documents in the fixture guarantee Hamming-0 pairs (rows > 0).
     */
   val dqSimHashNearDupWide: (SparkSession, String) => DataFrame = (s, dir) => {
+    // materialised once — same multi-reference recompute as
+    // dq_simhash_neardup, and the wide kernel is 2× the md5 votes
     val sh = docs(s, dir).select(col("doc_id"),
       graft.functions.Md5SimHash.md5SimHashWide(col("text")).as("w"))
       .select(col("doc_id"), col("w.hi").as("hi"), col("w.lo").as("lo"))
+      .localCheckpoint(true)
     graft.rules.Rules.simHashNearDupWide(sh, col("doc_id"), col("hi"), col("lo"),
         maxHamming = 6)
       .select(col("url").cast(LongType).as("doc_id"), col("rule"),
@@ -422,15 +439,34 @@ object Queries {
     * oracle keeps the string form).
     */
   def ngramJaccardPairs(aug: DataFrame): DataFrame = {
+    // LINEAGE TRUNCATION (eager localCheckpoint — the pipeline's
+    // candidate-pair pattern): the exploded shingle universe feeds the
+    // hot-shingle aggregate, the anti-join input, the per-doc sizes and
+    // BOTH self-join sides; left lazy, every reference re-expands the
+    // whole tokenize+shingle+explode lineage — the executed plan held 32
+    // source scans / 32 shingleHashes evaluations / 30 exchanges
+    // (plans/r06/dq_ngram_jaccard_before.txt). One materialised
+    // (doc_id, tok) leaf makes that a single pass. (A fold-everything
+    // alternative — one bounded collect-doc-ids TypedImperativeAggregate
+    // per shingle emitting ordered pairs directly — measured SLOWER:
+    // at ~10⁶ distinct shingle keys ObjectHashAggregate takes its
+    // sort-based fallback and serializes a buffer per key per spill;
+    // see OPTIMIZATION_r06.md.)
     val ex0 = aug
       .withColumn("sh", graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
       .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .localCheckpoint(true)
     // df cap: drop hot shingles BEFORE the self-join; per-doc sizes are
     // recomputed over the capped universe so the Jaccard denominator and
     // the shared count agree
     val ex = cappedShingles(ex0)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    // the self-join sides are the full capped universe (~docs × shingles
+    // rows): AQE's broadcast conversion would single-thread a
+    // megarow-scale hash-relation build on the driver; a shuffled hash
+    // join partitions both sides by tok instead (hash-uniform keys, df
+    // ≤ MaxShingleDf per key — skew-free by construction)
+    val pairs = ex.as("a").join(ex.as("b").hint("shuffle_hash"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared"))
@@ -799,11 +835,15 @@ object Queries {
     val toks = aug
       .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
       .filter(length(col("tok")) >= 3)
+    // materialised once (eager localCheckpoint): vocab feeds the ranked
+    // window, the cluster-max aggregate AND the final join — left lazy,
+    // each reference re-runs the tokenize+explode+count over the corpus
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("ck", concat(
         substring(col("tok"), 1, 1),
         substr(col("tok"), length(col("tok")), lit(1)),
         length(col("tok"))))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("ck")).orderBy(col("cnt").desc, col("tok"))
     val ranked = vocab.withColumn("rn", row_number().over(w))
     val sugg = ranked.filter(col("rn") <= 3)

@@ -66,14 +66,24 @@ object ExactSubstr {
     // the next query). GramHashes emits bit-identical xxhash64 values
     // in one codegen'd pass and the gram string now never exists at all.
     val base = df.select(key.as("__k"), text.as("__t"))
+    // the window table is left LAZY deliberately: it is referenced by
+    // the shared-gram aggregate and the coverage join (2 computes), but
+    // an eager localCheckpoint here measured SLOWER at bench scale (the
+    // materialisation action costs more than one recompute of the
+    // codegen'd gram pass) and at corpus scale would store ~16 B/window
+    // — recomputing a scan-speed kernel beats persisting a corpus-sized
+    // intermediate
+    val pos = base
       .withColumn("__toks", TextFns.tokens(lower(col("__t"))))
       .select(col("__k"),
-        GramHash.gramHashes(col("__toks"), l).as("__hs"),
-        // greatest(_, 0) absorbs size(null) = null on null text
-        greatest(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
-    val pos = base
-      .select(col("__k"), posexplode(col("__hs")).as(Seq("__p0", "__h")))
+        posexplode(GramHash.gramHashes(col("__toks"), l)).as(Seq("__p0", "__h")))
       .select(col("__k"), (col("__p0") + 1).cast("long").as("__pos"), col("__h"))
+    // per-doc token counts via the fused byte kernel (wordCountFast ==
+    // size(tokens), TextFnsSpec-pinned); greatest(_, 0) absorbs the
+    // null-text null
+    val nTokens = base.select(col("__k"),
+      greatest(TextFns.wordCountFast(col("__t")), lit(0)).cast("long")
+        .as("n_tokens"))
     val ndRaw = pos.select("__h", "__k").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") >= minDocs)
@@ -99,7 +109,7 @@ object ExactSubstr {
         lit(l.toLong)))
       .groupBy("__k")
       .agg(count(lit(1)).as("n_dup_windows"), sum(col("__c")).as("dup_tokens"))
-    base.select(col("__k"), col("n_tokens"))
+    nTokens
       .join(cov, Seq("__k"), "left")
       .select(col("__k"), col("n_tokens"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),

@@ -48,6 +48,44 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(ex("5 < 6 but <b>bold") == "5 < 6 but bold")
   }
 
+  test("fused kernel == regex chain: adversarial cases + seeded fuzz") {
+    // edge pool: boundary failures (\b), unclosed opens/closes, nested
+    // same-tag subtrees, tag-prefix alternation (p vs pre, th vs thead),
+    // entity adjacency/overlap bait, stray '<'/'&', vertical tab, CRLF,
+    // non-ASCII, comments with embedded openers
+    val pieces = Seq(
+      "<script>", "</script>", "<script a=\"<b>\">", "</script >",
+      "</script\t\n>", "<ScRiPt>", "<scripts>", "</scriptx>", "<script",
+      "<style>", "</style>", "<head>", "</head>", "<noscript>",
+      "</noscript>", "<template>", "</template>", "<!--", "-->",
+      "<!-- c -->", "<!---->", "<!--->", "<p>", "</p>", "<pre>", "</pre>",
+      "<p", "<p/>", "<//p>", "<div class='x'>", "<br/>", "<th>", "<them>",
+      "<thead>", "<table>", "<tracking>", "<h1>", "<h2>", "<h7>", "<b>",
+      "</b>", "<span>", "<!x>", "<!y", "</", "&nbsp;", "&lt;", "&gt;",
+      "&quot;", "&#39;", "&apos;", "&amp;", "&amp;lt;", "&amp;amp;", "&",
+      "&am", "&nbsp", ";", "<", ">", "< 6", "<6", "text", "word", " ",
+      "  ", "\t", "\n", "\n\n\n\n", "\r\n", "\f", "", "é", "日本",
+      "😀", "<p日本>", "<pré>", "𝒜", "<p𝒜>")
+    val rnd = new scala.util.Random(20260822L)
+    val fuzz = (0 until 400).map { _ =>
+      (0 until (2 + rnd.nextInt(30)))
+        .map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }
+    val hand = Seq(
+      "", "<script a <script b </script>", "<script><style></script></style>",
+      "<style><script></style></script>x", "a<!-- <script> -->b<script>c",
+      "<p><pre>x</pre></p>", "<SCRIPT>UP</SCRIPT>low",
+      "<script>no close", "text </script> only close",
+      "&amp;nbsp; &lt;script&gt;", "  \n x  ")
+    val df = (fuzz ++ hand).toDF("h")
+      .select(col("h"), HtmlExtract.extract(col("h")).as("fused"),
+        HtmlExtract.extractChain(col("h")).as("chain"))
+    val bad = df.filter(not(col("fused") <=> col("chain"))).collect()
+    assert(bad.isEmpty, bad.take(3).map(r =>
+      s"input=${r.getString(0)}\n fused=${r.getString(1)}\n chain=${r.getString(2)}")
+      .mkString("\n---\n"))
+  }
+
   test("PagesGen invariant: extract(html) == text, every error class") {
     val n = 2200L // covers every class many times over (moduli ≤ 101)
     val pages = PagesGen.generate(spark, n, partitions = 4)
