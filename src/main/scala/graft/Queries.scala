@@ -891,6 +891,11 @@ object Queries {
       lit("@example.com call 555-123-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" ssn 123-45-6789 ip 10.0.0.1 this is damn annoying"))
+    // the composed regexp chain, deliberately: scrubFused (byte-identical,
+    // ScrubSpec) MEASURED ~0.6 s slower on this query — the planted-PII
+    // input is mostly non-matching text, where the regex engine's
+    // first-char skip loop beats the fused kernel's per-char state
+    // machine (OPTIMIZATION_r06.md)
     docs(s, dir).select(col("doc_id"), Scrub.scrubCol(pii).as("scrubbed_text"))
       .withColumn("has_email", col("scrubbed_text").contains("<EMAIL>"))
       .withColumn("has_tox", col("scrubbed_text").contains("<TOX>"))
@@ -1256,6 +1261,9 @@ object Queries {
       .toDF("doc_id", "payload")
     graft.multimodal.Multimodal.extractMeta(withPayload).toDF()
       .select("doc_id", "magic_hex", "width", "height", "format")
+      // leaf before the sort — the range sampling pass would re-run the
+      // PNG encode+decode chain (see mmAudioMeta)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -1286,6 +1294,11 @@ object Queries {
     graft.multimodal.Multimodal.extractAudioMeta(withPayload).toDF()
       .select("doc_id", "magic_hex", "sample_rate", "channels", "bits",
         "n_frames", "format")
+      // materialise the decoded rows BEFORE the global sort: orderBy's
+      // range partitioner SAMPLES its child, which re-runs the whole
+      // WAV encode+decode chain a second time; the leaf makes the
+      // sampling pass read finished rows instead
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -1321,6 +1334,9 @@ object Queries {
     graft.multimodal.Multimodal.extractVideoMeta(withPayload).toDF()
       .select("doc_id", "magic_hex", "width", "height", "timescale",
         "duration_units", "n_frames", "brand")
+      // leaf before the sort — the range sampling pass would re-run the
+      // MP4 build+box-walk chain (see mmAudioMeta)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 

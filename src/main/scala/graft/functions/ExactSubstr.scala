@@ -53,6 +53,14 @@ object ExactSubstr {
     * dup_tokens, dup_frac). Every input document appears exactly once;
     * docs with no shared window (or < L tokens) carry zeros and
     * `dup_frac` 0 (null when the doc has zero tokens — no denominator).
+    *
+    * EAGER AT CONSTRUCTION: this method runs Spark jobs before
+    * returning (the shared-gram set is materialised and counted to pick
+    * the join strategy — AQE cannot see that the ≥minDocs filter leaves
+    * a broadcast-sized build side). Callers composing it into a larger
+    * job should defer construction to where the work may overlap other
+    * actions — QualityPipeline.run builds it inside the v1a future for
+    * exactly this reason.
     */
   def substrDupStats(df: DataFrame, key: Column, text: Column,
                      l: Int, minDocs: Long = 2L,

@@ -189,9 +189,43 @@ object LangIdModel {
     */
   def fromText(pairs: Seq[(String, String)]): Model = buildModel(pairs)
 
-  def fromTable(df: org.apache.spark.sql.DataFrame): Model =
-    fromText(df.select("lang", "text").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq)
+  /** Byte budget for the loader collects ([[fromTable]],
+    * [[CharLm.fromTable]]): a language profile / LM training corpus is
+    * curated few-MB text, and the built model ships inside the scorer
+    * expression to every executor — so anything past this bound is a
+    * mispointed DataFrame (a corpus, not a profile), and the loader
+    * fails with a named error instead of a driver OOM. Same contract as
+    * QualityModel.fromFrame's bounded sample and the nearDupResolve
+    * driver gates.
+    */
+  val MaxCorpusBytes: Long = 64L << 20
+
+  /** Shared gate: fail with a named error when the (lang, text) frame's
+    * text payload exceeds `maxBytes`; otherwise return the collected
+    * rows. One scalar aggregate decides BEFORE anything is collected.
+    */
+  private[functions] def boundedCorpusRows(
+      df: org.apache.spark.sql.DataFrame, what: String,
+      maxBytes: Long): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val bytes = df.select(sum(octet_length(col("text"))).as("b"))
+      .head().getAs[java.lang.Long]("b")
+    val total = if (bytes == null) 0L else bytes.longValue()
+    if (total > maxBytes)
+      throw new IllegalArgumentException(
+        s"$what: training table carries $total bytes of text, over the " +
+          s"$maxBytes-byte loader budget — this loader collects the " +
+          "corpus to build a broadcast-sized model, so a corpus-scale " +
+          "input is a mispointed table. Curate/sample it first " +
+          "(e.g. the QualityModel.fromFrame content-hash bottom-k " +
+          "pattern) or raise maxBytes explicitly.")
+    df.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  def fromTable(df: org.apache.spark.sql.DataFrame,
+                maxBytes: Long = MaxCorpusBytes): Model =
+    fromText(boundedCorpusRows(df, "langid_model.from_table", maxBytes))
 
   private def buildModel(corpus: Seq[(String, String)]): Model = {
     val byLang: Map[String, String] = corpus.sorted.groupBy(_._1)

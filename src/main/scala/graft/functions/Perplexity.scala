@@ -62,11 +62,13 @@ object CharLm {
     * MB of curated text (the model must stay broadcast-sized; it ships
     * inside the scorer expression to every executor), so a driver
     * collect is the correct shape — this is model TRAINING input, not a
-    * data path.
+    * data path. Gated by the shared [[LangIdModel.MaxCorpusBytes]]
+    * budget: a mispointed corpus-scale table fails with a named error
+    * before anything is collected, never a driver OOM.
     */
-  def fromTable(df: org.apache.spark.sql.DataFrame): Model =
-    fromText(df.select("lang", "text").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq)
+  def fromTable(df: org.apache.spark.sql.DataFrame,
+                maxBytes: Long = LangIdModel.MaxCorpusBytes): Model =
+    fromText(LangIdModel.boundedCorpusRows(df, "char_lm.from_table", maxBytes))
 
   /** Perplexity under an EXPLICIT model (the loader-parity scorer; the
     * fused kernel path scores under the default [[model]]).

@@ -39,6 +39,22 @@ class LangIdSpec extends AnyFunSuite {
     assert(loaded.langs.sameElements(ref.langs))
   }
 
+  test("fromTable loaders: named error past the byte budget, identical model under it") {
+    val big = Seq(("en", "x" * 4096)).toDF("lang", "text")
+    val eLid = intercept[IllegalArgumentException](
+      LangIdModel.fromTable(big, maxBytes = 1024))
+    assert(eLid.getMessage.contains("langid_model.from_table") &&
+      eLid.getMessage.contains("loader budget"))
+    val eLm = intercept[IllegalArgumentException](
+      CharLm.fromTable(big, maxBytes = 1024))
+    assert(eLm.getMessage.contains("char_lm.from_table"))
+    // under the budget the gate changes nothing: bit-identical tables
+    val df = LangIdModel.SeedCorpus.toSeq.toDF("lang", "text")
+    val m = LangIdModel.fromTable(df)
+    assert(m.langs.sameElements(LangIdModel.model.langs))
+    assert(CharLm.fromTable(df).cnt == CharLm.model.cnt)
+  }
+
   test("CharLm fromText/fromTable loaders reproduce the built-in LM bit-for-bit") {
     // in-memory pairs round-trip — identical cnt/ctx tables and vocab
     val m1 = CharLm.fromText(LangIdModel.SeedCorpus.toSeq)
