@@ -443,15 +443,16 @@ object Queries {
     // candidate-pair pattern): the exploded shingle universe feeds the
     // hot-shingle aggregate, the anti-join input, the per-doc sizes and
     // BOTH self-join sides; left lazy, every reference re-expands the
-    // whole tokenize+shingle+explode lineage — the executed plan held 32
-    // source scans / 32 shingleHashes evaluations / 30 exchanges
+    // whole tokenize+shingle+explode lineage — the r5 executed plan held
+    // 32 source scans / 32 shingleHashes evaluations / 30 exchanges
     // (plans/r06/dq_ngram_jaccard_before.txt). One materialised
-    // (doc_id, tok) leaf makes that a single pass. (A fold-everything
-    // alternative — one bounded collect-doc-ids TypedImperativeAggregate
-    // per shingle emitting ordered pairs directly — measured SLOWER:
-    // at ~10⁶ distinct shingle keys ObjectHashAggregate takes its
-    // sort-based fallback and serializes a buffer per key per spill;
-    // see OPTIMIZATION_r06.md.)
+    // (doc_id, tok) leaf makes that a single pass. Two alternatives were
+    // measured and rejected (OPTIMIZATION_r06.md): a count-window df cap
+    // over one tok exchange (wall-equal, but its reuse exists only in
+    // the runtime AQE plan — the compile-time plan still duplicates the
+    // subtree) and a fold-everything bounded collect-doc-ids
+    // TypedImperativeAggregate (slower: ObjectHashAggregate's sort-based
+    // fallback at ~10⁶ distinct keys serializes a typed buffer per key).
     val ex0 = aug
       .withColumn("sh", graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
       .select(col("doc_id"), explode(col("sh")).as("tok"))

@@ -40,8 +40,12 @@ object CellEmbed {
     val sentences = cols.zipWithIndex.map { case (c, i) =>
       df.select(col(orderCol).cast("long").as("__ord"),
           coalesce(col(c).cast("string"), lit("Nan")).as("__cell"))
+        // floor, not cast-truncation: long/int division yields a double
+        // and cast truncates toward zero, which would fold chunks -0.x
+        // and 0.x together for negative order values (round-6 review
+        // finding; non-negative orders are unchanged)
         .groupBy(lit(i).as("__col"),
-          (col("__ord") / chunk).cast("long").as("__chunk"))
+          floor(col("__ord") / chunk).cast("long").as("__chunk"))
         .agg(array_sort(collect_list(struct(col("__ord"), col("__cell"))))
           .as("__oc"))
         .select(col("__col"), col("__chunk"),

@@ -54,16 +54,17 @@ object QualityModel {
     def score(text: String): Double = scoreNormalized(normalizeJvm(text))
 
     private[functions] def meanWeight(nm: String): Double = {
-      val n = nm.length
-      if (n < 3) return 0.0
+      val offs = cpOffsets(nm)
+      val cp = offs.length - 1
+      if (cp < 3) return 0.0
       val md = java.security.MessageDigest.getInstance("MD5")
       var sum = 0.0
       var i = 0
-      while (i + 3 <= n) {
-        sum += w(md5Bucket(md, nm, i, 3))
+      while (i + 3 <= cp) {
+        sum += w(md5BucketRange(md, nm, offs(i), offs(i + 3)))
         i += 1
       }
-      sum / (n - 2)
+      sum / (cp - 2)
     }
   }
 
@@ -82,15 +83,43 @@ object QualityModel {
     * equal to DuckDB `('0x'||substr(md5(s),1,15))::BIGINT % Buckets`.
     */
   private[functions] def md5Bucket(md: java.security.MessageDigest,
-                                   s: String, off: Int, k: Int): Int = {
+                                   s: String, off: Int, k: Int): Int =
+    md5BucketRange(md, s, off, off + k)
+
+  /** Bucket of the shingle spanning chars [from, until). Callers pass
+    * CODE-POINT window boundaries ([[cpOffsets]]) so the shingle set
+    * matches the DuckDB twin's substr semantics — iterating UTF-16
+    * units would split surrogate pairs on non-BMP text (round-6 review
+    * finding; ASCII/BMP behavior identical).
+    */
+  private[functions] def md5BucketRange(md: java.security.MessageDigest,
+                                        s: String, from: Int, until: Int): Int = {
     md.reset()
-    md.update(s.substring(off, off + k)
+    md.update(s.substring(from, until)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val d = md.digest()
     var v = 0L
     var b = 0
     while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
     ((v >>> 4) % Buckets).toInt
+  }
+
+  /** Code-point start offsets of s plus the end offset — window i of 3
+    * code points spans [offs(i), offs(i+3)).
+    */
+  private[functions] def cpOffsets(s: String): Array[Int] = {
+    val n = s.length
+    val offs = new Array[Int](s.codePointCount(0, n) + 1)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      offs(k) = i
+      k += 1
+      i += (if (Character.isHighSurrogate(s.charAt(i)) && i + 1 < n &&
+                Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+    }
+    offs(k) = n
+    offs
   }
 
   // =====================================================================
@@ -111,9 +140,11 @@ object QualityModel {
     // pre-hash every sample once: (bucket list, label)
     val feats = samples.map { case (text, y) =>
       val nm = normalizeJvm(if (text == null) "" else text)
-      val n = nm.length
-      val bs = if (n < 3) Array.empty[Int]
-      else Array.tabulate(n - 2)(i => md5Bucket(md, nm, i, 3))
+      val offs = cpOffsets(nm)
+      val cp = offs.length - 1
+      val bs = if (cp < 3) Array.empty[Int]
+      else Array.tabulate(cp - 2)(i =>
+        md5BucketRange(md, nm, offs(i), offs(i + 3)))
       (bs, y)
     }
     val nS = feats.length
@@ -308,19 +339,19 @@ object QualityModel {
   def scoreEval(nm: UTF8String, w: Array[Double], b: Double): Double = {
     val s = nm.toString
     val n = s.length
-    if (n < 3) return sigmoid(b)
-    val md = java.security.MessageDigest.getInstance("MD5")
     val ascii = {
       var i = 0; var ok = true
       while (i < n && ok) { if (s.charAt(i) >= 0x80) ok = false; i += 1 }
       ok
     }
-    val allBytes =
-      if (ascii) s.getBytes(java.nio.charset.StandardCharsets.UTF_8) else null
-    var sum = 0.0
-    var i = 0
-    while (i + 3 <= n) {
-      if (ascii) {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (ascii) {
+      // byte fast path: ASCII chars are their own code points
+      if (n < 3) return sigmoid(b)
+      val allBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var sum = 0.0
+      var i = 0
+      while (i + 3 <= n) {
         md.reset()
         md.update(allBytes, i, 3)
         val d = md.digest()
@@ -328,10 +359,23 @@ object QualityModel {
         var j = 0
         while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
         sum += w(((v >>> 4) % Buckets).toInt)
-      } else sum += w(md5Bucket(md, s, i, 3))
-      i += 1
+        i += 1
+      }
+      sigmoid(sum / (n - 2) + b)
+    } else {
+      // code-point windows — matches the training shingler and the
+      // DuckDB twin's substr semantics on non-BMP text
+      val offs = cpOffsets(s)
+      val cp = offs.length - 1
+      if (cp < 3) return sigmoid(b)
+      var sum = 0.0
+      var i = 0
+      while (i + 3 <= cp) {
+        sum += w(md5BucketRange(md, s, offs(i), offs(i + 3)))
+        i += 1
+      }
+      sigmoid(sum / (cp - 2) + b)
     }
-    sigmoid(sum / (n - 2) + b)
   }
 }
 

@@ -62,6 +62,30 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("shingling is CODE-POINT based: surrogate pairs never split") {
+    // "a😀b" = 3 code points (4 UTF-16 units) → exactly ONE 3-shingle:
+    // the whole string. A code-unit shingler would emit two windows,
+    // each splitting the emoji's surrogate pair.
+    val s = "a😀b"
+    val m = QualityModel.Default
+    // hand-derive: bucket = first 60 bits of md5(utf8(s)) % Buckets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    (0 until 8).foreach(j => v = (v << 8) | (d(j) & 0xffL))
+    val bucket = ((v >>> 4) % QualityModel.Buckets).toInt
+    val expected = 1.0 / (1.0 + math.exp(-(m.w(bucket) / 1.0 + m.b)))
+    assert(m.score(s) == expected, "driver-side scorer")
+    // the fused expression path agrees (non-ASCII branch)
+    val got = Seq(s).toDF("t")
+      .select(QualityModel.scoreColumn(TextFns.normText(col("t"))).as("r"))
+      .head().getDouble(0)
+    assert(got == expected, "expression scorer")
+    // < 3 code points (but ≥ 3 UTF-16 units) → no windows → sigmoid(b)
+    val short = "😀😁" // 2 code points, 4 units
+    assert(m.score(short) == 1.0 / (1.0 + math.exp(-m.b)))
+  }
+
   test("training is deterministic: same corpus, same bits") {
     val m1 = QualityModel.train(QualityModel.trainingCorpus())
     val m2 = QualityModel.train(QualityModel.trainingCorpus())
