@@ -757,7 +757,7 @@ object Queries {
   val dqTokenCount: (SparkSession, String) => DataFrame = (s, dir) =>
     docs(s, dir).select(
         col("doc_id"),
-        TextFns.wordCount(col("text")).cast(LongType).as("n_ws_tokens"),
+        TextFns.wordCountFast(col("text")).cast(LongType).as("n_ws_tokens"),
         TextFns.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"))
       .orderBy("doc_id")
 
@@ -2072,7 +2072,7 @@ object Queries {
   val dqQualityBuckets: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
       round(col("n_chars").cast(DoubleType) /
-        nullif(TextFns.wordCount(col("text")), lit(0)), 6).as("score"))
+        nullif(TextFns.wordCountFast(col("text")), lit(0)), 6).as("score"))
     graft.curation.Select
       .ntileBuckets(base, col("doc_id"), col("lang"), col("score"), 3)
       .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
@@ -2097,9 +2097,9 @@ object Queries {
     */
   val dqTokenBudget: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
-      TextFns.wordCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFns.wordCountFast(col("text")).cast(LongType).as("n_tokens"),
       round(col("n_chars").cast(DoubleType) /
-        nullif(TextFns.wordCount(col("text")), lit(0)), 6).as("score"),
+        nullif(TextFns.wordCountFast(col("text")), lit(0)), 6).as("score"),
       TextFns.md5Long(col("doc_id").cast("string")).as("h"))
     val b = graft.curation.Select
       .ntileBuckets(base, col("doc_id"), col("lang"), col("score"), 3)
