@@ -181,7 +181,17 @@ object Rules {
                           maxHamming: Int, maxBucket: Int,
                           rule: String): DataFrame = {
     val sizes = ex.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+    // Materialised once (eager localCheckpoint): exS feeds BOTH sides of
+    // the small-bucket self-join, the big branch and the hub aggregate —
+    // left lazy each reference re-runs the explode and the bucket-size
+    // join (AQE reuses the exchanges but not the join itself). The frame
+    // is narrow — (8B bucket, key, sig, 8B count) per exploded row that
+    // SURVIVED the __n > 1 filter, i.e. only rows in candidate buckets —
+    // and the banding scheme's whole point is that candidate buckets are
+    // a small fraction of the corpus, so the leaf is far smaller than
+    // the input at any scale (worst case = the input's dup density).
     val exS = ex.join(sizes, Seq("bucket")).filter(col("__n") > 1)
+      .localCheckpoint(true)
     val small = exS.filter(col("__n") <= maxBucket)
     val pairsSmall = small.as("a").join(small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.__url") < col("b.__url"))
