@@ -267,6 +267,10 @@ object Queries {
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
         element_at(col("sig"), 3).as("mh2"), element_at(col("sig"), 4).as("mh3"))
+      // materialised before the sort: orderBy's range partitioner SAMPLES
+      // its child to pick bounds, re-running the md5-minhash kernel a
+      // second time (the mm_* leaf pattern; measured win, not break-even)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -289,6 +293,9 @@ object Queries {
     docs(s, dir)
       .select(col("doc_id"),
         graft.functions.Md5SimHash.md5SimHash(col("text"), 16).as("simhash"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // md5 voting kernel (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
 
   val dqSimHashSql: String = {
@@ -704,6 +711,9 @@ object Queries {
       .withColumn("keep",
         col("n_words") >= 30 && col("symbol_ratio") <= 0.1 &&
           col("mean_word_len").between(2.0, 12.0))
+      // leaf before the sort — the range sampling pass would re-run the
+      // heuristics kernel (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
 
   val dqHeuristicsSql: String = {
@@ -726,6 +736,9 @@ object Queries {
         LangId.markerLang(col("text")).as("detected_lang"),
         col("lang").as("declared_lang"))
       .withColumn("agree", col("detected_lang") === col("declared_lang"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // langid kernel (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
 
   val dqLangIdSql: String = {
@@ -759,6 +772,9 @@ object Queries {
         col("doc_id"),
         TextFns.wordCountFast(col("text")).cast(LongType).as("n_ws_tokens"),
         TextFns.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"))
+      // leaf before the sort — the range sampling pass would re-run both
+      // token-count kernels (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
 
   val dqTokenCountSql: String =
@@ -773,6 +789,9 @@ object Queries {
         col("doc_id"),
         md5(norm.cast("binary")).as("fp_md5"),
         TextFns.fingerprint(col("text")).as("fp64"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // normalise+md5+fingerprint chain (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -802,6 +821,10 @@ object Queries {
       .select(col("doc_id"),
         round(col("az"), 6).as("abs_z"),
         round(col("az") / col("mz"), 6).as("outlier_score"))
+      // no pre-sort leaf here: measured NO win (0.39 -> 0.42-0.53 s with
+      // a localCheckpoint) — the scored frame sits behind the broadcast
+      // stats crossJoin, and the checkpoint action costs more than the
+      // sampling pass saves
       .orderBy("doc_id")
   }
 
@@ -900,6 +923,9 @@ object Queries {
     docs(s, dir).select(col("doc_id"), Scrub.scrubCol(pii).as("scrubbed_text"))
       .withColumn("has_email", col("scrubbed_text").contains("<EMAIL>"))
       .withColumn("has_tox", col("scrubbed_text").contains("<TOX>"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // full scrub regex chain (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -1232,6 +1258,9 @@ object Queries {
       .select(col("doc_id"), col("frame_idx"),
         conv(substring(md5(encode(sliceHex, "UTF-8")), 1, 15), 16, 10)
           .cast(LongType).as("frame_hash"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // per-frame hex-slice md5 (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -1379,6 +1408,9 @@ object Queries {
         round(col("r.top_4gram_char_frac"), 6).as("top_4gram_char_frac"),
         round(col("r.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
         round(col("r.dup_10gram_char_frac"), 6).as("dup_10gram_char_frac"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // repetition kernel (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
@@ -1518,6 +1550,9 @@ object Queries {
         round(col("c.frac_js_lines"), 6).as("frac_js_lines"),
         col("c.has_lorem_ipsum").as("has_lorem_ipsum"),
         col("c.has_curly_brace").as("has_curly_brace"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // C4 line kernel (see mmAudioMeta / dqMinHash)
+      .localCheckpoint(true)
       .orderBy("doc_id")
   }
 
