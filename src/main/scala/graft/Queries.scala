@@ -467,6 +467,10 @@ object Queries {
     // df cap: drop hot shingles BEFORE the self-join; per-doc sizes are
     // recomputed over the capped universe so the Jaccard denominator and
     // the shared count agree
+    // NO second leaf on the capped universe: measured slower (1.7 vs
+    // 1.5 s) — its three references (sizes, both self-join sides) ride
+    // AQE exchange reuse over the ex0 leaf, and materialising the
+    // ~docs×shingles rows costs more than the reused recompute
     val ex = cappedShingles(ex0)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // the self-join sides are the full capped universe (~docs × shingles
