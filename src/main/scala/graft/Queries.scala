@@ -1606,9 +1606,16 @@ object Queries {
     val t4 = concat(col("text"),
       lit("\n\nshared boilerplate "), (col("doc_id") % 25).cast("string"),
       lit("\n\nsubscribe to our newsletter"))
+    // LINEAGE TRUNCATION (the round's candidate-pair pattern): the
+    // exploded paragraph universe feeds BOTH the ndocs aggregate and the
+    // join probe side — left lazy, the split+explode over the corpus runs
+    // twice. The leaf holds (doc_id, paragraph) rows — bounded by corpus
+    // size, same class as ngramJaccard's ex0 leaf. Paired A/B medians in
+    // OPTIMIZATION_r06.md.
     val paras = docs(s, dir)
       .select(col("doc_id"), explode(split(t4, "\n\n")).as("p"))
       .filter(col("p") =!= "")
+      .localCheckpoint(true)
     val ndocs = paras.select("p", "doc_id").distinct()
       .groupBy("p").agg(count(lit(1)).as("ndocs"))
     paras.join(ndocs, Seq("p"))

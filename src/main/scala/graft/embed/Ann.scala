@@ -19,17 +19,63 @@ import org.apache.spark.sql.types.DoubleType
   *    At 10⁹+ vectors this turns a full scan into a bucket-local scan —
   *    the scale path; recall vs brute force is property-tested.
   *
-  * Dot products use `aggregate(zip_with(...))` — pure codegen'd Catalyst
-  * expressions, no UDF.
+  * Dot products ride the fused [[CosineSimExpr]] kernel: the composed
+  * `aggregate(zip_with(...))` formulation (kept as [[cosineComposed]], the
+  * semantic reference AnnSpec pins bit-equality against) is a Catalyst
+  * higher-order function — its lambda is INTERPRETED per element and its
+  * presence disables whole-stage codegen for the whole plan span
+  * (plans/r06/emb_knn_before.txt: zero WholeStageCodegen nodes).
   */
 object Ann {
 
-  /** Cosine similarity of two array<float/double> columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<float/double> columns (double math).
+    * Bit-identical to [[cosineComposed]] on every input (same per-index
+    * fold order, same null semantics) — AnnSpec's differential pins it.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftExpr.column(CosineSimExpr(
+      graft.functions.GraftExpr.expr(a), graft.functions.GraftExpr.expr(b)))
+
+  /** The composed HOF formulation — the oracle-portable semantic
+    * reference for [[cosine]] (DuckDB's list_cosine_similarity agrees on
+    * non-degenerate inputs). Not used in query paths: interpreted lambda
+    * per element + codegen fallback for the enclosing stage.
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Kernel behind [[CosineSimExpr]]: one pass computes the three dot
+    * products with the SAME per-index accumulation order as the composed
+    * formulation (each accumulator starts at 0.0 and adds in ascending
+    * index order — exactly the zip_with/aggregate fold), so doubles are
+    * bit-identical. Null semantics replicated: zip_with null-pads a
+    * length mismatch and a null element poisons the fold, so either
+    * yields SQL NULL (boxed null here). Empty arrays give 0/0 = NaN,
+    * zero vectors 0/0 = NaN — both exactly as composed.
+    */
+  def cosineSimEval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                    b: org.apache.spark.sql.catalyst.util.ArrayData,
+                    aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dab / (math.sqrt(daa) * math.sqrt(dbb)))
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -435,4 +481,60 @@ case class IvfCellsExpr(child: org.apache.spark.sql.catalyst.expressions.Express
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): IvfCellsExpr =
     copy(child = newChild)
+}
+
+/** Fused cosine similarity (see [[Ann.cosineSimEval]] for the exact
+  * bit/null parity contract with the composed HOF formulation). The
+  * result is nullable even for non-null inputs (length mismatch / null
+  * element), so codegen boxes through the kernel's java.lang.Double.
+  */
+case class CosineSimExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val rightFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs array<float|double> inputs, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Ann.cosineSimEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""java.lang.Double $tmp =
+         |  graft.embed.Ann.cosineSimEval($a, $b, $leftFloat, $rightFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
 }

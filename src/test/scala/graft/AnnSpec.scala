@@ -16,6 +16,51 @@ class AnnSpec extends AnyFunSuite {
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2
   }
 
+  test("fused cosine == composed HOF cosine, bit-identical incl. degenerates") {
+    // float/float: the ANN paths' shape — random-ish values exercise
+    // accumulation order (any reordering would flip low mantissa bits)
+    val ff = Seq(
+      (Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f)),
+      (Seq(0.123f, -9.75f, 3.3e-5f, 7.1f), Seq(-2.5f, 0.004f, 81.25f, -0.33f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f)))                // length mismatch: NULL
+      .toDF("a", "b")
+    val both = ff.select(Ann.cosine(col("a"), col("b")).as("f"),
+      Ann.cosineComposed(col("a"), col("b")).as("c")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    assert(both(2).isNullAt(0), "length mismatch must be NULL")
+    // zero-norm / empty arrays: 0/0 — the fused kernel keeps IEEE double
+    // semantics (NaN — what DuckDB's list_cosine_similarity and the
+    // pre-ANSI composed form give); under Spark 4's ANSI default the
+    // composed Divide THROWS here instead, so no differential is possible
+    // (query paths never reach this: fixtures are clean and embCluster
+    // guards zero-norm before calling cosine)
+    val degen = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    degen.select(Ann.cosine(col("a"), col("b")).as("f")).collect()
+      .foreach(r => assert(!r.isNullAt(0) && r.getDouble(0).isNaN,
+        s"0/0 must stay NaN, got $r"))
+    // mixed float/double (the embCluster shape: vector vs literal centroid)
+    val fd = Seq((Seq(0.6f, -1.25f, 4.5f))).toDF("a")
+      .select(col("a"), array(lit(0.25), lit(-3.5), lit(0.875)).as("b"))
+    val r2 = fd.select(Ann.cosine(col("a"), col("b")).as("f"),
+      Ann.cosineComposed(col("a"), col("b")).as("c")).head()
+    assert(java.lang.Double.doubleToRawLongBits(r2.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(r2.getDouble(1)))
+    // null element poisons the fold on either side
+    val ne = Seq((Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val r3 = ne.select(Ann.cosine(col("a"), col("b")).as("f"),
+      Ann.cosineComposed(col("a"), col("b")).as("c")).head()
+    assert(r3.isNullAt(0) && r3.isNullAt(1), "null element must yield NULL on both")
+  }
+
   test("bruteForceTopK: exact neighbors, deterministic tie-break") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
