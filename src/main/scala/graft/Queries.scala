@@ -1963,6 +1963,10 @@ object Queries {
       .select(col("doc_id"),
         round(graft.functions.QualityModel.scoreColumn(col("__nm")), 4)
           .as("q_score"))
+      // leaf before the sort — the range sampling pass would re-run the
+      // md5-trigram scorer over the corpus (the round's pre-sort-leaf
+      // pattern; this query was missed in the original sweep)
+      .localCheckpoint(true)
       .orderBy("doc_id")
 
   val dqQualityScoreSql: String = {
