@@ -1887,9 +1887,11 @@ object Queries {
       .select(col("vec_id"), col("embedding"))
       .unionByName(planted)
     // zero-norm guard mirroring the kernel's cosineOf (and DuckDB): a
-    // zero vector reads -1.0, not the unguarded 0/0 = NaN
-    val n2 = aggregate(col("embedding"), lit(0.0),
-      (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType))
+    // zero vector reads -1.0, not the unguarded 0/0 = NaN. Fused normSq
+    // (bit-identical to the composed aggregate fold, AnnSpec) — the last
+    // interpreted HOF in a declared query path; with it gone the whole
+    // projection codegens.
+    val n2 = graft.embed.Ann.normSq(col("embedding"))
     val cos = ClusterCents.zipWithIndex
       .map { case (cArr, i) =>
         (i, when(n2 === 0.0, lit(-1.0))

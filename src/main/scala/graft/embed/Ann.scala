@@ -78,6 +78,29 @@ object Ann {
     java.lang.Double.valueOf(dab / (math.sqrt(daa) * math.sqrt(dbb)))
   }
 
+  /** Squared-norm column (fused [[NormSqExpr]]). Bit-identical to the
+    * composed `aggregate(v, lit(0.0), (acc, x) => acc + x.castD * x.castD)`.
+    */
+  def normSq(v: Column): Column =
+    graft.functions.GraftExpr.column(NormSqExpr(graft.functions.GraftExpr.expr(v)))
+
+  /** Kernel behind [[NormSqExpr]]: ascending-index fold from 0.0 (the
+    * composed aggregate's order) ⇒ bit-identical; null element ⇒ null.
+    */
+  def normSqEval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 isFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Exact top-k neighbors for each query vector.
     * queries: (qid, qvec); corpus: (id, vec). Output (qid, id, cos, rank).
     */
@@ -480,6 +503,45 @@ case class IvfCellsExpr(child: org.apache.spark.sql.catalyst.expressions.Express
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): IvfCellsExpr =
+    copy(child = newChild)
+}
+
+/** Fused squared L2 norm of an array<float/double> column — replaces the
+  * composed `aggregate(v, 0.0, acc + x²)` (interpreted lambda per
+  * element, codegen fallback for the enclosing span). Same fold order
+  * (ascending index from 0.0) ⇒ bit-identical doubles; a null element
+  * poisons the fold to SQL NULL exactly as the composed form; empty
+  * array ⇒ 0.0. AnnSpec pins the differential.
+  */
+case class NormSqExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Ann.normSqEval(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nsqTmp")
+      s"""java.lang.Double $tmp = graft.embed.Ann.normSqEval($c, $elemIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NormSqExpr =
     copy(child = newChild)
 }
 

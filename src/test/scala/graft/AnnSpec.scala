@@ -61,6 +61,26 @@ class AnnSpec extends AnyFunSuite {
     assert(r3.isNullAt(0) && r3.isNullAt(1), "null element must yield NULL on both")
   }
 
+  test("fused normSq == composed aggregate fold, bit-identical") {
+    val df = Seq(
+      Seq(0.123f, -9.75f, 3.3e-5f, 7.1f),
+      Seq(0.0f, 0.0f),
+      Seq.empty[Float]).toDF("a")
+    val composed = aggregate(col("a"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    df.select(Ann.normSq(col("a")).as("f"), composed.as("c")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bit mismatch: $r")
+    }
+    // null array and null element both yield NULL on both paths
+    val nulls = Seq(
+      (None: Option[Seq[Option[Float]]]),
+      Some(Seq(Some(1.0f), None))).toDF("a")
+    nulls.select(Ann.normSq(col("a")).as("f"), composed.as("c")).collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"must be NULL on both: $r")
+    }
+  }
+
   test("bruteForceTopK: exact neighbors, deterministic tie-break") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
